@@ -1,0 +1,94 @@
+"""
+Headline benchmark: station-days of continuous data scanned per second per
+chip by the fused subspace detection kernel (the production hot loop,
+reference _MPXDS detect.py:559-578).
+
+Workload (BASELINE.json north star): a 10-event subspace (4 basis vectors
+after dimension selection), 30 s templates, against 100 Hz 3-channel
+continuous data in hour chunks — the full statistic: rolling power
+normalization, FFT correlation against every basis vector, sum of squares,
+channel-decimated striding, plus on-device 401-bin histogramming and trigger
+extraction (i.e. everything the scan does in production, not just the FFTs).
+
+Baseline: the reference implementation's compute core (float64
+numpy/scipy/pandas single-thread, mirroring detect.py:559-578) timed on this
+host. Prints one JSON line.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from detex_tpu.ops import ds as dsops
+    from detex_tpu.parallel import scan as pscan
+
+    nc = 3
+    sr = 100.0
+    tmpl_sec = 30.0
+    n = int(tmpl_sec * sr * nc)          # 9000
+    chunk_sec = 3600.0
+    Lc = int(chunk_sec * sr * nc)        # 1,080,000
+    nfft = 2 ** int(Lc + n).bit_length()  # reference fft sizing
+    D = 4                                 # basis dims after energy capture
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((D, n))
+    q, _ = np.linalg.qr(A.T)
+    U = np.ascontiguousarray(q[:, :D].T)
+    bank = dsops.make_bank([U], nfft)
+    thresholds = np.full(1, 0.99, np.float32)
+    bins = jnp.asarray(np.linspace(0, 1, 401), jnp.float32)
+
+    B = 8  # chunks per device call
+    # distinct inputs per iteration + a dependency chain between steps:
+    # this backend can elide duplicate launches, so timing must force real,
+    # ordered execution of every step.
+    Xs = [jax.random.normal(jax.random.PRNGKey(i), (B, Lc), jnp.float32)
+          for i in range(8)]
+    buff = int(20 * sr)
+
+    def step(X):
+        return pscan.scan_chunks(X, bank["Ufd"], bank["sum_u"],
+                                 bank["d_mask"], thresholds, bins,
+                                 bank["n"], nc, nfft, buff, 16)
+
+    # warmup/compile
+    out = step(Xs[0])
+    jax.block_until_ready(out)
+
+    # measure steady state
+    iters = 8
+    t0 = time.perf_counter()
+    acc = jnp.float32(0)
+    for i in range(iters):
+        hist, maxds, *_ = step(Xs[i % len(Xs)] + acc * 0)
+        acc = maxds.ravel()[0]
+    jax.block_until_ready(acc)
+    dt = time.perf_counter() - t0
+    chunk_hours = chunk_sec / 3600.0
+    station_days = iters * B * chunk_hours / 24.0
+    ours = station_days / dt  # station-days per second per chip
+
+    # reference-equivalent numpy core, one chunk (float64, single thread)
+    x64 = np.asarray(Xs[0][0], np.float64)
+    t0 = time.perf_counter()
+    dsops.ds_numpy(x64, U, nc)
+    ref_dt = time.perf_counter() - t0
+    ref_rate = (chunk_hours / 24.0) / ref_dt
+
+    print(json.dumps({
+        "metric": "station-days scanned/sec/chip (10-event subspace, "
+                  "100Hz 3ch, incl. hist+triggers)",
+        "value": round(ours, 3),
+        "unit": "station-days/s",
+        "vs_baseline": round(ours / ref_rate, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

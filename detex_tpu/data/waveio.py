@@ -1,0 +1,119 @@
+"""
+Waveform file IO.
+
+Native format is ``npz`` (numpy archive + JSON header) — hermetic, fast, no
+external deps. If obspy is installed, miniSEED/SAC/pickle read/write are
+transparently supported too (the reference's formats, getdata.py:33-47).
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+import detex_tpu
+from detex_tpu.core.stream import Stats, Stream, Trace
+from detex_tpu.core.utc import UTCDateTime
+
+# file extension per format (reference getdata formatKey)
+formatKey = {"mseed": "msd", "pickle": "pkl", "sac": "sac", "Q": "Q",
+             "npz": "npz"}
+
+_META_KEYS = ("network", "station", "location", "channel", "sampling_rate")
+
+
+def _obspy():
+    try:
+        import obspy
+        return obspy
+    except ImportError:
+        return None
+
+
+def write_stream(st, path, format="npz"):
+    fmt = str(format).lower()
+    if fmt == "npz":
+        arrays = {}
+        meta = []
+        for i, tr in enumerate(st):
+            arrays["data_%d" % i] = np.asarray(tr.data)
+            m = {k: tr.stats.get(k) for k in _META_KEYS}
+            m["starttime"] = tr.stats.starttime.timestamp
+            meta.append(m)
+        arrays["meta"] = np.array(json.dumps(meta))
+        d = os.path.dirname(path)
+        if d and not os.path.exists(d):
+            os.makedirs(d, exist_ok=True)
+        np.savez(path if path.endswith(".npz") else path + ".npz", **arrays)
+        return path
+    ob = _obspy()
+    if ob is None:
+        detex_tpu.log(__name__, "format %s requires obspy which is not "
+                      "installed; use format='npz'" % format, level="error")
+    ost = ob.Stream([ob.Trace(
+        data=np.asarray(tr.data),
+        header={k: tr.stats.get(k) for k in _META_KEYS}) for tr in st])
+    for otr, tr in zip(ost, st):
+        otr.stats.starttime = ob.UTCDateTime(tr.stats.starttime.timestamp)
+    ost.write(path, format=format)
+    return path
+
+
+def read(path):
+    """Read a waveform file into a detex_tpu Stream. Returns None on failure
+    (mirrors reference getdata.read, getdata.py:33-47)."""
+    try:
+        return _read(path)
+    except Exception:
+        try:
+            ob = _obspy()
+            if ob is not None:
+                return _from_obspy(ob.read(path))
+        except Exception:
+            pass
+        detex_tpu.log(__name__, "Cannot read %s" % path, level="warning")
+        return None
+
+
+def _read(path):
+    if path.endswith(".npz") or os.path.exists(path + ".npz"):
+        p = path if path.endswith(".npz") else path + ".npz"
+        with np.load(p, allow_pickle=False) as z:
+            meta = json.loads(str(z["meta"]))
+            st = Stream()
+            for i, m in enumerate(meta):
+                stats = Stats(m)
+                st.append(Trace(z["data_%d" % i], stats))
+        return st
+    ob = _obspy()
+    if ob is None:
+        raise IOError("cannot read %s without obspy" % path)
+    return _from_obspy(ob.read(path))
+
+
+def _from_obspy(ost):
+    st = Stream()
+    for otr in ost:
+        h = {k: getattr(otr.stats, k, "") for k in _META_KEYS}
+        h["starttime"] = UTCDateTime(float(otr.stats.starttime.timestamp))
+        data = otr.data
+        if np.ma.isMaskedArray(data):
+            data = data.filled(np.nan)
+        st.append(Trace(np.asarray(data, dtype=np.float64), h))
+    return st
+
+
+def to_obspy(st):
+    ob = _obspy()
+    if ob is None:
+        detex_tpu.log(__name__, "obspy not installed", level="error",
+                      e=ImportError)
+    ost = ob.Stream()
+    for tr in st:
+        otr = ob.Trace(data=np.asarray(tr.data))
+        for k in _META_KEYS:
+            setattr(otr.stats, k, tr.stats.get(k))
+        otr.stats.starttime = ob.UTCDateTime(tr.stats.starttime.timestamp)
+        ost += otr
+    return ost

@@ -1,0 +1,434 @@
+"""
+Continuous-data subspace detection engine — reference detex/detect.py
+rebuilt around batched device kernels.
+
+Per station the detectors are packed into fixed-shape banks (grouped by
+template length); each continuous chunk is multiplexed on host, padded to a
+fixed length (one XLA compile per station), and the DS of *all* detectors is
+produced by one fused device call (rfft -> broadcast conj-multiply ->
+irfft -> rolling-power normalization -> stride). Histogramming runs on
+device; only maxima, trigger indices and (rarely) triggered DS vectors cross
+back to host. Trigger suppression runs as an on-device while_loop with the
+reference's exact zeroing semantics.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import detex_tpu
+from detex_tpu import util as _util
+from detex_tpu.construct import _applyFilter, multiplex
+from detex_tpu.core.utc import UTCDateTime
+from detex_tpu.ops import ds as _ds
+from detex_tpu.ops import stalta as _stalta
+from detex_tpu.ops import triggers as _triggers
+from detex_tpu.ops import xcorr as _xcorr
+
+MAX_TRIGGERS = 4096  # reference kill switch at 4000 (detect.py:433-436)
+
+
+class _SSDetex(object):
+    """Run subspace/singleton detections or event classification
+    (reference detect.py:22-218)."""
+
+    def __init__(self, TRDF, utcStart, utcEnd, cfetcher, clusters, subspaceDB,
+                 trigCon, triggerLTATime, triggerSTATime, multiprocess,
+                 calcHist, dtype, estimateMags, classifyEvents, eventCorFile,
+                 utcSaves, fillZeros, issubspace=True):
+        self.utcStart = utcStart
+        self.utcEnd = utcEnd
+        self.filt = clusters.filt
+        self.decimate = clusters.decimate
+        self.triggerLTATime = triggerLTATime
+        self.triggerSTATime = triggerSTATime
+        self.calcHist = calcHist
+        self.dtype = dtype
+        self.estimateMags = estimateMags
+        self.eventCorFile = eventCorFile
+        self.utcSaves = utcSaves
+        self.fillZeros = fillZeros
+        self.issubspace = issubspace
+        self.stakey = clusters.stakey
+        self.classifyEvents = classifyEvents
+        self.trigCon = trigCon
+        self.subspaceDB = subspaceDB
+
+        if classifyEvents is not None:
+            self.eveKey = _util.readKey(classifyEvents, "template")
+            fetcher = clusters.fetcher
+            dur = fetcher.timeBeforeOrigin + fetcher.timeAfterOrigin
+        else:
+            fetcher = cfetcher
+            dur = fetcher.conDatDuration + fetcher.conBuff
+        self.fetcher = fetcher
+        self.dataLength = dur
+
+        if utcSaves is not None:
+            try:
+                ts = [UTCDateTime(x).timestamp for x in utcSaves]
+            except (ValueError, TypeError):
+                detex_tpu.log(__name__, "utcSaves must be an iterable of "
+                              "UTCDateTime-readable objects", level="error")
+            self.utcSaves = np.array(ts)
+            self.UTCSaveList = []
+        self.eventCorList = []
+
+        self.hist = {}
+        if calcHist:
+            self.hist["Bins"] = np.linspace(0, 1, num=401)
+
+        for sta in TRDF.keys():
+            DFsta = TRDF[sta].reset_index(drop=True)
+            TRDF[sta] = DFsta
+            if len(DFsta) > 0:
+                self.hist[sta] = self._corStations(DFsta, sta)
+            if classifyEvents is not None and len(self.eventCorList) > 0:
+                DFeve = pd.concat(self.eventCorList, ignore_index=True)
+                DFeve.to_pickle("%s_%s.pkl" % (self.eventCorFile, sta))
+                self.eventCorList = []
+        if utcSaves is not None and len(getattr(self, "UTCSaveList", [])) > 0:
+            DFutc = pd.concat(self.UTCSaveList, ignore_index=True)
+            DFutc.to_pickle("UTCsaves.pkl")
+
+    # ------------------------------------------------------------------
+    def _corStations(self, DFsta, sta):
+        """Prepare one station's detector banks and stream the data
+        (reference detect.py:111-135)."""
+        skey = self.stakey
+        stakey = skey[skey.STATION == sta.split(".")[1]]
+        channels = _getChannels(DFsta)
+        samplingRates = _getSampleRates(DFsta)
+        if channels is None or samplingRates is None:
+            return None
+        threshold = {x.Name: x.Threshold for _, x in DFsta.iterrows()}
+        names = sorted(DFsta.Name.values)
+        samplingRate = samplingRates[0]
+        return self._corDat(threshold, sta, channels, names, DFsta,
+                            samplingRate, stakey)
+
+    def _prepareDetectors(self, DFsta, sta, channels, samplingRate):
+        """
+        Pack detectors into fixed-shape banks (device) and gather the
+        per-detector metadata used for magnitudes/offsets (the reference's
+        _loadMPSubSpace, detect.py:319-388).
+        """
+        Nc = len(channels)
+        dataLength = self.dataLength
+        det = {}
+        for ind, row in DFsta.iterrows():
+            events = list(row.Events)
+            if self.issubspace:
+                U = np.array([row.SVD[x] for x in row.UsedSVDKeys])
+                if "Starttime" in row.SampleTrims:
+                    s0 = row.SampleTrims["Starttime"]
+                    s1 = row.SampleTrims["Endtime"]
+                    WFs = np.array([row.AlignedTD[x][s0:s1] for x in events])
+                else:
+                    WFs = np.array([row.AlignedTD[x] for x in events])
+            else:
+                mptd = list(row.MPtd.values())[0]
+                if row.SampleTrims:
+                    s0 = row.SampleTrims["Starttime"]
+                    s1 = row.SampleTrims["Endtime"]
+                    upr = mptd[s0:s1]
+                else:
+                    upr = mptd
+                U = np.array([upr / np.linalg.norm(upr)])
+                WFs = np.array([upr])
+            UtU = U.T @ U
+            dlen = U.shape[1]
+            reqlen = int(dataLength * samplingRate * Nc + dlen)
+            mags = np.array([row.Stats[x]["magnitude"] for x in events])
+            det[row.Name] = dict(
+                U=U, WFs=WFs, UtU=UtU, n=dlen, reqlen=reqlen, mags=mags,
+                events=events, offsets=row.Offsets,
+                WFU=np.dot(WFs, UtU))
+        # group by template length into banks
+        banks = []
+        by_n = {}
+        for name in sorted(det):
+            by_n.setdefault(det[name]["n"], []).append(name)
+        max_reqlen = max(d["reqlen"] for d in det.values())
+        nfft = 2 ** int(max_reqlen).bit_length()
+        pad_len = int(dataLength * samplingRate * Nc)
+        for n, names in sorted(by_n.items()):
+            bank = _ds.make_bank([det[nm]["U"] for nm in names], nfft)
+            bank["names"] = names
+            banks.append(bank)
+        return det, banks, nfft, pad_len
+
+    def _corDat(self, threshold, sta, channels, names, DFsta, samplingRate,
+                stakey):
+        """Stream chunks and detect (reference detect.py:137-218)."""
+        numdets = 0
+        tableName = "ss_df" if self.issubspace else "sg_df"
+        DF = pd.DataFrame()
+        histdic = {na: np.zeros(len(self.hist["Bins"]) - 1)
+                   for na in names} if self.calcHist else None
+        nc = len(channels)
+        det, banks, nfft, pad_len = self._prepareDetectors(
+            DFsta, sta, channels, samplingRate)
+        if self.classifyEvents is not None:
+            datGen = self.fetcher.getTemData(self.eveKey, stakey,
+                                             returnName=False,
+                                             returnTimes=True)
+        else:
+            datGen = self.fetcher.getConData(stakey, utcstart=self.utcStart,
+                                             utcend=self.utcEnd,
+                                             returnTimes=True)
+        for st, utc1, utc2 in datGen:
+            if st is None or len(st) < 1:
+                detex_tpu.log(__name__, "could not get data on %s from %s to"
+                              " %s" % (stakey.STATION.iloc[0], utc1, utc2),
+                              level="warning", pri=True)
+                continue
+            result = self._scanChunk(st, det, banks, nfft, pad_len, nc, sta,
+                                     utc1, utc2)
+            if result is None:
+                continue
+            dsdict, MPcon, sr, tstamp = result
+            for name, dsvec in dsdict.items():
+                if self.calcHist:
+                    hg, _ = np.histogram(dsvec, bins=self.hist["Bins"])
+                    histdic[name] = histdic[name] + hg
+                maxds = float(dsvec.max()) if len(dsvec) else 0.0
+                stalta_vec = None
+                if not self.fillZeros and self.triggerLTATime:
+                    try:
+                        stalta_vec = np.asarray(_stalta.ds_stalta(
+                            dsvec, self.triggerLTATime * sr,
+                            self.triggerSTATime * sr))
+                    except Exception:
+                        detex_tpu.log(__name__, "failing to calculate "
+                                      "sta/lta of det. statistic on %s for "
+                                      "%s" % (sta, name), level="warning")
+                if isinstance(self.utcSaves, np.ndarray):
+                    self._makeUTCSaveDF(name, threshold, sta, det, MPcon,
+                                        dsvec, sr, tstamp)
+                if self.classifyEvents is not None:
+                    self.eventCorList.append(pd.DataFrame(
+                        [[sta, name, maxds, tstamp]],
+                        columns=["Sta", "Name", "DS", "TimeStamp"]))
+                if maxds > threshold[name]:
+                    Sar = self._createCoeffArray(
+                        dsvec, stalta_vec, name, threshold, sta, det, MPcon,
+                        nc, sr, tstamp)
+                    if len(Sar) > 300:
+                        detex_tpu.log(__name__, "over 300 events found in "
+                                      "single data block on %s; perhaps "
+                                      "minCoef is too low?" % sta,
+                                      level="warning", pri=True)
+                    if any(Sar.DS > 1.05):
+                        detex_tpu.log(__name__, "DS values above 1.05 found"
+                                      " on %s, removing" % sta,
+                                      level="warning", pri=True)
+                        Sar = Sar[Sar.DS <= 1.05]
+                    if len(Sar) > 0:
+                        DF = pd.concat([DF, Sar], ignore_index=True)
+                    if len(DF) > 500:
+                        _util.saveSQLite(DF, self.subspaceDB, tableName)
+                        numdets += len(DF)
+                        DF = pd.DataFrame()
+        if len(DF) > 0:
+            _util.saveSQLite(DF, self.subspaceDB, tableName)
+        detType = "Subspaces" if self.issubspace else "Singletons"
+        detex_tpu.log(__name__, "%s on %s completed, %d potential "
+                      "detection(s) recorded"
+                      % (detType, sta, len(DF) + numdets), pri=True)
+        return histdic if self.calcHist else None
+
+    def _scanChunk(self, st, det, banks, nfft, pad_len, nc, sta, utc1, utc2):
+        """Filter, multiplex and run all detector banks on one chunk
+        (the reference's _getRA, detect.py:220-296)."""
+        try:
+            conSt = _applyFilter(st, self.filt, self.decimate, self.dtype,
+                                 fillZeros=self.fillZeros)
+        except Exception:
+            detex_tpu.log(__name__, "failed to filter chunk on %s, skipping"
+                          % sta, level="warning", pri=True)
+            return None
+        if len(conSt) < 1:
+            return None
+        sr = conSt[0].stats.sampling_rate
+        MPcon = multiplex(conSt, nc)
+        tstamp = conSt[0].stats.starttime.timestamp
+        if len(MPcon) <= max(d["n"] for d in det.values()):
+            detex_tpu.log(__name__, "data block on %s from %s to %s is too "
+                          "short, skipping" % (sta, utc1, utc2),
+                          level="warning")
+            return None
+        dsdict = {}
+        for bank in banks:
+            ds = _ds.run_bank(MPcon, bank, nc, nfft, pad_len=pad_len)
+            for i, name in enumerate(bank["names"]):
+                vec = ds[i]
+                if len(vec) < 10:
+                    detex_tpu.log(__name__, "data block on %s too short, "
+                                  "skipping" % sta, level="warning")
+                    return None
+                if vec.max() > 1.1:  # zero infs (reference detect.py:277-281)
+                    vec = np.where(np.isfinite(vec), vec, 0.0)
+                dsdict[name] = vec
+        return dsdict, MPcon, sr, tstamp
+
+    def _makeUTCSaveDF(self, name, threshold, sta, det, MPcon, dsvec, sr,
+                       tstamp):
+        """Dump DS vectors covering requested times
+        (reference detect.py:298-316)."""
+        TS1 = tstamp
+        TS2 = tstamp + len(dsvec) / sr
+        inUTCs = (self.utcSaves > TS1) & (self.utcSaves < TS2)
+        if np.any(inUTCs):
+            dat = [sta, name, threshold[name], det[name]["offsets"], TS1,
+                   TS2, self.utcSaves[inUTCs], MPcon, dsvec]
+            inds = ["Station", "Name", "Threshold", "offset", "TS1", "TS2",
+                    "utcSaves", "MPcon", "SSdetect"]
+            self.UTCSaveList.append(pd.DataFrame([dat], columns=inds))
+
+    def _createCoeffArray(self, dsvec, stalta_vec, name, threshold, sta, det,
+                          MPcon, nc, sr, tstamp):
+        """Extract triggers + magnitudes for one detector on one chunk
+        (reference _CreateCoeffArray detect.py:390-445)."""
+        cols = ["DS", "DS_STALTA", "STMP", "Name", "Sta", "MSTAMPmin",
+                "MSTAMPmax", "Mag", "SNR", "ProEnMag"]
+        if self.trigCon == 0:
+            ceval = dsvec
+        else:
+            ceval = stalta_vec
+        buff_samps = int(20 * sr)  # reference buff=20 s (detect.py:545)
+        idx, count = _triggers.extract_triggers(
+            ceval, float(threshold[name]), buff_samps,
+            max_triggers=MAX_TRIGGERS)
+        idx = np.asarray(idx)[: int(count)]
+        if int(count) >= MAX_TRIGGERS:
+            detex_tpu.log(__name__, "over %d events found in single data "
+                          "block on %s for %s" % (MAX_TRIGGERS, sta, name),
+                          level="error")
+        rows = []
+        info = det[name]
+        minof = np.min(info["offsets"])
+        maxof = np.max(info["offsets"])
+        for trigIndex in idx:
+            coef = float(dsvec[trigIndex])
+            times = float(trigIndex) / sr + tstamp
+            if self.fillZeros or stalta_vec is None:
+                SLValue = 0.0
+            else:
+                SLValue = float(stalta_vec[trigIndex])
+            if self.estimateMags:
+                peMag, stMag, SNR = self._estMag(int(trigIndex), info, MPcon,
+                                                 nc, coef, times, name, sta)
+            else:
+                peMag, stMag, SNR = np.nan, np.nan, np.nan
+            MSTAMPmax, MSTAMPmin = times - minof, times - maxof
+            rows.append([coef, SLValue, times, name, sta, MSTAMPmin,
+                         MSTAMPmax, stMag, SNR, peMag])
+        return pd.DataFrame(rows, columns=cols)
+
+    def _estMag(self, trigIndex, info, MPcon, nc, coef, times, name, sta):
+        """Projected-energy and std-ratio magnitudes, CC^2-weighted
+        (reference _estMag detect.py:447-499, Chambers et al. 2015)."""
+        WFU = info["WFU"]
+        UtU = info["UtU"]
+        ewf = info["WFs"]
+        mags = info["mags"]
+        WFlen = WFU.shape[1]
+        ConDat = MPcon[trigIndex * nc: trigIndex * nc + WFlen]
+        if len(ConDat) < WFlen:
+            return np.nan, np.nan, np.nan
+        if self.issubspace:
+            ssCon = UtU @ ConDat
+            proEn = np.var(ssCon) / np.var(WFU, axis=1)
+        # pre-event noise level for SNR
+        if trigIndex * nc > 5 * WFlen:
+            pe = MPcon[trigIndex * nc - 5 * WFlen: trigIndex * nc]
+        else:
+            pe = MPcon[trigIndex * nc: trigIndex * nc + WFlen + 6 * WFlen]
+        rollingstd = _np_rolling_std(pe, WFlen)
+        baseNoise = np.median(rollingstd) if len(rollingstd) else np.nan
+        SNR = np.std(ConDat) / baseNoise if baseNoise else np.nan
+        touse = mags > -15
+        if self.issubspace:
+            if not np.any(touse):
+                detex_tpu.log(__name__, "No magnitudes above -15 usable for "
+                              "detection at %s on station %s and %s"
+                              % (times, sta, name), level="warning")
+                return np.nan, np.nan, SNR
+            ecor = _xcorr.normcorr_bank(np.asarray(ewf), ConDat)[:, 0]
+            eventCors = np.asarray(ecor)
+            peMag = _estPEMag(mags, proEn, eventCors, touse)
+            stMag = _estSTDMag(mags, ConDat, ewf, eventCors, touse)
+        else:
+            assert len(mags) == 1
+            if np.isnan(mags[0]) or mags[0] < -15:
+                return np.nan, np.nan, SNR
+            d1 = np.dot(ConDat, WFU[0])
+            d2 = np.dot(WFU[0], WFU[0])
+            peMag = mags[0] + d1 / d2
+            stMag = mags[0] + np.log10(np.std(ConDat) / np.std(WFU[0]))
+        return peMag, stMag, SNR
+
+
+def _np_rolling_std(x, n):
+    """Trailing rolling sample std (pandas ddof=1 semantics), length
+    len(x)-n+1."""
+    x = np.asarray(x, dtype=np.float64)
+    if len(x) < n:
+        return np.array([])
+    c = np.cumsum(np.insert(x, 0, 0.0))
+    c2 = np.cumsum(np.insert(x * x, 0, 0.0))
+    s = c[n:] - c[:-n]
+    s2 = c2[n:] - c2[:-n]
+    var = np.maximum((s2 - s * s / n) / (n - 1), 0.0)
+    return np.sqrt(var)
+
+
+def _getChannels(df):
+    """Common channel list of a detector DataFrame
+    (reference detect.py:600-616)."""
+    row = df.iloc[0] if isinstance(df, pd.DataFrame) else df
+    chan_lists = list(row.Channels.values())
+    chans = set(x for lst in chan_lists for x in lst)
+    if not all(chans == set(x) for x in row.Channels.values()):
+        detex_tpu.log(__name__, "Not all channels are the same for each "
+                      "event on %s, skipping" % row.Station, level="warning",
+                      pri=True)
+        return None
+    return sorted(chans)
+
+
+def _getSampleRates(df):
+    """Common sampling rate (reference detect.py:619-634)."""
+    row = df.iloc[0] if isinstance(df, pd.DataFrame) else df
+    srs = set(row.Stats[x]["sampling_rate"] for x in row.Events)
+    if len(srs) > 1:
+        detex_tpu.log(__name__, "Not all sample rates equal on %s, skipping"
+                      % row.Station, level="warning", pri=True)
+        return None
+    return sorted(srs)
+
+
+def _estPEMag(mags, proEn, eventCors, touse):
+    """Projected-energy magnitude, CC^2-weighted
+    (reference detect.py:637-649)."""
+    ma = 0.0
+    weDenom = np.sum(np.square(eventCors[touse]))
+    for x in range(len(proEn)):
+        if mags[x] > -15:
+            we = np.square(eventCors[x])
+            lr = np.log10(np.sqrt(proEn[x]))
+            ma += (mags[x] + lr) * we
+    return ma / weDenom
+
+
+def _estSTDMag(mags, ConDat, ewf, eventCors, touse):
+    """Std-ratio magnitude, CC^2-weighted (reference detect.py:652-664)."""
+    ma = 0.0
+    weDenom = np.sum(np.square(eventCors[touse]))
+    for x in range(len(ewf)):
+        if mags[x] > -15:
+            we = np.square(eventCors[x])
+            lr = np.log10(np.std(ConDat) / np.std(ewf[x]))
+            ma += (mags[x] + lr) * we
+    return ma / weDenom

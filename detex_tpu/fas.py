@@ -1,0 +1,154 @@
+"""
+False-alarm statistics (empirical null estimation) — reference detex/fas.py.
+
+Random continuous chunks are screened with a classic STA/LTA noise veto,
+scanned with the same device DS kernel the detector uses
+(detex_tpu.ops.ds == reference _MPXSSCorr fas.py:120-134), histogrammed,
+and fit with a beta distribution whose inverse survival function sets the
+detection threshold for the configured Pf.
+"""
+from __future__ import annotations
+
+import numpy as np
+import scipy.stats
+
+import detex_tpu
+from detex_tpu import construct as _construct
+from detex_tpu.core.utc import UTCDateTime
+from detex_tpu.ops import ds as _ds
+from detex_tpu.ops.stalta import classic_sta_lta
+
+
+def _initFAS(TRDF, conDatNum, cluster, fetcher, LTATime=5, STATime=0.5,
+             numBins=401, dtype="double", staltalimit=7.5, issubspace=True,
+             utcstart=None, utcend=None):
+    """
+    Sample random continuous chunks and fit the DS null distribution for
+    each subspace/singleton row of TRDF (reference fas.py:23-86). Returns a
+    list of dicts: {'bins','hist','betadist','nnlf'} per row.
+    """
+    TRDF = TRDF.reset_index(drop=True)
+    results = [{} for _ in range(len(TRDF))]
+    histBins = np.linspace(-.01, 1, num=numBins)
+    conLen = fetcher.conDatDuration + fetcher.conBuff
+    for ind, row in TRDF.iterrows():
+        results[ind]["bins"] = histBins
+        if issubspace:
+            U, Nc, sr = _loadMPSubSpace(row)
+        else:
+            U, Nc, sr = _loadMPSingles(row)
+        n = U.shape[1]
+        reqlen = int(conLen * sr * Nc + n)
+        nfft = 2 ** int(reqlen).bit_length()
+        pad_len = int(conLen * sr * Nc)
+        bank = _ds.make_bank([U], nfft)
+        sta = row.Station.split(".")[1]
+        stakey = cluster.stakey[cluster.stakey.STATION == sta]
+        utc1 = UTCDateTime(stakey.iloc[0].STARTTIME) if utcstart is None \
+            else UTCDateTime(utcstart)
+        utc2 = UTCDateTime(stakey.iloc[0].ENDTIME) if utcend is None \
+            else UTCDateTime(utcend)
+        filt = cluster.filt
+        deci = cluster.decimate
+        dsvec, count, scount = _getDSVect(
+            fetcher, stakey, utc1, utc2, filt, deci, dtype, conDatNum, Nc,
+            bank, nfft, pad_len, STATime, LTATime, staltalimit)
+        if count != conDatNum:
+            detex_tpu.log(__name__, "%d samps not available, using all "
+                          "available" % conDatNum, level="warning")
+        sratio = float(scount) / max(count, 1)
+        if sratio <= .25:
+            detex_tpu.log(__name__, "sta/lta req of %s failing on station "
+                          "%s, dropping sta/lta requirement"
+                          % (staltalimit, sta), level="warning", pri=True)
+            dsvec, count, scount = _getDSVect(
+                fetcher, stakey, utc1, utc2, filt, deci, dtype, conDatNum,
+                Nc, bank, nfft, pad_len, STATime, LTATime, None)
+        if len(dsvec) == 0:
+            detex_tpu.log(__name__, "Could not calculate FAS for %s %s"
+                          % (row.Station, row.Name), level="error")
+        dss = np.concatenate(dsvec).astype(
+            np.float64 if dtype == "double" else np.float32)
+        results[ind]["hist"] = np.histogram(dss, bins=histBins)[0]
+        betaparams = scipy.stats.beta.fit(np.clip(dss, 1e-12, 1 - 1e-12),
+                                          floc=0, fscale=1)
+        results[ind]["betadist"] = betaparams
+        results[ind]["nnlf"] = scipy.stats.beta.nnlf(
+            betaparams, np.clip(dss, 1e-12, 1 - 1e-12))
+    return results
+
+
+def _getDSVect(fetcher, stakey, utc1, utc2, filt, deci, dtype, conDatNum,
+               Nc, bank, nfft, pad_len, sta, lta, limit):
+    """Collect DS vectors over random continuous chunks
+    (reference fas.py:89-117)."""
+    stgen = fetcher.getConData(stakey, utcstart=utc1, utcend=utc2,
+                               randSamps=conDatNum * 4)
+    count = 0
+    scount = 0
+    DSmat = []
+    for st in stgen:
+        if st is None or len(st) < 1:
+            continue
+        count += 1
+        st = _construct._applyFilter(st, filt, deci, dtype)
+        if st is None or len(st) < 1:
+            continue
+        if not _checkSTALTA(st, filt, sta, lta, limit):
+            continue
+        if scount >= conDatNum:
+            break
+        mpCon = _construct.multiplex(st, Nc)
+        dsVect = _ds.run_bank(mpCon, bank, Nc, nfft, pad_len=pad_len)[0]
+        DSmat.append(dsVect)
+        scount += 1
+    if count == 0:
+        detex_tpu.log(__name__, "Could not get any data for %s"
+                      % stakey.STATION.iloc[0], level="error")
+    return DSmat, count, scount
+
+
+def _loadMPSubSpace(row):
+    """U matrix from the used left singular vectors
+    (reference fas.py:153-172)."""
+    if not isinstance(row.UsedSVDKeys, list):
+        detex_tpu.log(__name__, "SVD not defined, run SVD before FAS",
+                      level="error")
+    chans = list(row.Channels.values())
+    if not all(x == chans[0] for x in chans):
+        detex_tpu.log(__name__, "all events in subspace do not share "
+                      "channels", level="error")
+    Nc = len(chans[0])
+    U = np.array([row.SVD[x] for x in row.UsedSVDKeys])
+    sr = list(row.Stats.values())[0]["sampling_rate"]
+    return U, Nc, sr
+
+
+def _loadMPSingles(row):
+    """Normalized trimmed singleton waveform (reference fas.py:137-150)."""
+    Nc = list(row.Stats.values())[0]["Nc"]
+    sts = row.SampleTrims["Starttime"]
+    ste = row.SampleTrims["Endtime"]
+    arr = np.array([row.MPtd[x][sts:ste] for x in row.MPtd.keys()])
+    U = np.array([x / np.linalg.norm(x) for x in arr])
+    sr = list(row.Stats.values())[0]["sampling_rate"]
+    return U, Nc, sr
+
+
+def _checkSTALTA(st, filt, STATime, LTATime, limit):
+    """Reject chunks with transient signals via classic STA/LTA on the Z (or
+    first) component (reference fas.py:175-205)."""
+    if limit is None:
+        return True
+    if len(st) < 1:
+        return False
+    stz = st.select(component="Z")
+    tr = stz[0] if len(stz) > 0 else st[0]
+    sr = tr.stats.sampling_rate
+    cft = classic_sta_lta(tr.data, STATime * sr, LTATime * sr)
+    if np.max(cft) <= limit:
+        return True
+    detex_tpu.log(__name__, "%s fails sta/lta req of %s between %s and %s"
+                  % (tr.stats.station, limit, tr.stats.starttime,
+                     tr.stats.endtime), level="warning")
+    return False

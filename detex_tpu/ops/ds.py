@@ -1,0 +1,194 @@
+"""
+The subspace detection-statistic (DS) kernel — the framework's hot loop.
+
+Reference semantics (_MPXDS detect.py:559-578 == _MPXSSCorr fas.py:120-134):
+given a multiplexed continuous chunk ``x`` (length Lc) and a subspace basis
+``U`` [D, n] (rows are orthonormal left singular vectors, or a normalized
+single event):
+
+    a    = rolling_mean(x, n)               # length Lc - n + 1
+    p    = n * rolling_var(x, n)            # rolling power (pandas sample var
+                                            #   * n in the reference; see note)
+    c_d  = correlate(x, U_d)                # via FFT, valid part
+    y_d  = c_d - sum(U_d) * a
+    DS   = sum_d y_d^2 / p
+    return DS[::Nc]                         # undo channel multiplexing
+
+Note on the variance: the reference uses pandas *sample* var times n, i.e.
+``sum((x-mu)^2) * n/(n-1)``. For orthonormal U the DS then peaks at
+~(n-1)/n ≈ 1. We reproduce the reference exactly (sample var) so DS values
+and thresholds are comparable to Detex's.
+
+TPU-first design: the chunk is standardized (demeaned/scaled) on device
+first — the DS is provably invariant to affine scaling of the data, and this
+keeps float32 math accurate to ~1e-6 over million-sample chunks. Multiple
+chunks are processed as a leading batch dimension, and a whole bank of
+detectors (same template length) is evaluated with one batched irFFT.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from detex_tpu.ops.rolling import rolling_mean
+
+DEFAULT_MAX_DS_LEN = None
+
+
+def required_fft_len(data_len_samps, n):
+    """Reference required FFT length: 2^bit_length(reqlen)
+    (detect.py:368-371, fas.py:147-148)."""
+    return 2 ** int(int(data_len_samps) + int(n)).bit_length()
+
+
+def prep_basis_fd(U, nfft, dtype=jnp.float32):
+    """rFFT of reversed basis vectors at length nfft
+    (reference _loadMPSubSpace detect.py:371, fas.py:171)."""
+    U = jnp.asarray(U, dtype)
+    return jnp.fft.rfft(U[..., ::-1], int(nfft), axis=-1)
+
+
+def _ds_core(x, Ufd, sum_u, n, nc, nfft):
+    """
+    DS of one chunk against one subspace.
+    x: [Lc] multiplexed data; Ufd: [D, R] rfft of reversed basis;
+    sum_u: [D]. Returns [ceil((Lc - n + 1) / nc)].
+    """
+    Lc = x.shape[0]
+    # standardize for f32 accuracy; DS is invariant to affine data transforms
+    mu = jnp.mean(x)
+    sd = jnp.std(x)
+    xs = (x - mu) / jnp.where(sd == 0, 1.0, sd)
+
+    a = rolling_mean(xs, n)                       # [Lc - n + 1]
+    m2 = rolling_mean(xs * xs, n)
+    var_pop = jnp.maximum(m2 - a * a, 0.0)
+    power = var_pop * (n * n) / (n - 1.0)         # n * sample-var
+
+    xfd = jnp.fft.rfft(xs, nfft)
+    cc = jnp.fft.irfft(Ufd * xfd[None, :], nfft, axis=-1)[:, n - 1:Lc]
+    y = cc - sum_u[:, None] * a[None, :]
+    num = jnp.sum(y * y, axis=0)
+    ds = num / jnp.where(power == 0, jnp.inf, power)
+    return ds[::nc]
+
+
+@partial(jax.jit, static_argnames=("n", "nc", "nfft"))
+def ds_single(x, Ufd, sum_u, n, nc, nfft):
+    """Single chunk x [Lc], single subspace."""
+    return _ds_core(x, Ufd, sum_u, n, nc, nfft)
+
+
+@partial(jax.jit, static_argnames=("n", "nc", "nfft"))
+def ds_bank(x, Ufd, sum_u, d_mask, n, nc, nfft):
+    """
+    One chunk against a *bank* of S subspaces sharing template length n.
+    x: [Lc]; Ufd: [S, Dmax, R]; sum_u: [S, Dmax]; d_mask: [S, Dmax] bool
+    (False rows are zero-padded basis slots). Returns [S, out_len].
+    """
+    Lc = x.shape[0]
+    mu = jnp.mean(x)
+    sd = jnp.std(x)
+    xs = (x - mu) / jnp.where(sd == 0, 1.0, sd)
+
+    a = rolling_mean(xs, n)
+    m2 = rolling_mean(xs * xs, n)
+    var_pop = jnp.maximum(m2 - a * a, 0.0)
+    power = var_pop * (n * n) / (n - 1.0)
+
+    xfd = jnp.fft.rfft(xs, nfft)
+    cc = jnp.fft.irfft(Ufd * xfd[None, None, :], nfft,
+                       axis=-1)[:, :, n - 1:Lc]          # [S, Dmax, L']
+    y = cc - sum_u[:, :, None] * a[None, None, :]
+    y = jnp.where(d_mask[:, :, None], y, 0.0)
+    num = jnp.sum(y * y, axis=1)                          # [S, L']
+    ds = num / jnp.where(power == 0, jnp.inf, power)[None, :]
+    return ds[:, ::nc]
+
+
+@partial(jax.jit, static_argnames=("n", "nc", "nfft"))
+def ds_bank_chunks(X, Ufd, sum_u, d_mask, n, nc, nfft):
+    """Batch over chunks: X [B, Lc] -> [B, S, out_len]."""
+    return jax.vmap(lambda x: ds_bank(x, Ufd, sum_u, d_mask, n, nc, nfft))(X)
+
+
+def make_bank(U_list, nfft, dtype=jnp.float32):
+    """
+    Pack a list of [D_i, n] basis arrays (equal n) into padded bank arrays.
+
+    Returns dict with Ufd [S, Dmax, R], sum_u [S, Dmax], d_mask [S, Dmax],
+    n, Dmax.
+    """
+    n = U_list[0].shape[1]
+    assert all(u.shape[1] == n for u in U_list)
+    S = len(U_list)
+    Dmax = max(u.shape[0] for u in U_list)
+    U = np.zeros((S, Dmax, n), dtype=np.float64)
+    mask = np.zeros((S, Dmax), dtype=bool)
+    for i, u in enumerate(U_list):
+        U[i, :u.shape[0]] = u
+        mask[i, :u.shape[0]] = True
+    Ufd = prep_basis_fd(U, nfft, dtype)
+    sum_u = jnp.asarray(U.sum(axis=-1), dtype)
+    return dict(Ufd=Ufd, sum_u=sum_u,
+                d_mask=jnp.asarray(mask), n=int(n), Dmax=int(Dmax))
+
+
+def run_bank(x_np, bank, nc, nfft, pad_len=None):
+    """
+    Run a detector bank over one (possibly ragged) host chunk with
+    fixed-shape padding so XLA compiles once per (pad_len, bank) shape.
+
+    Returns a numpy [S, n_valid] DS array where n_valid covers only windows
+    fully inside the real data (pad windows are sliced off; DS is invariant
+    to the affine standardization including pad zeros for those windows).
+    """
+    x_np = np.asarray(x_np)
+    Lc = len(x_np)
+    n = bank["n"]
+    if pad_len is None:
+        pad_len = Lc
+    if Lc > pad_len:
+        x_np = x_np[:pad_len]
+        Lc = pad_len
+    xp = np.zeros(pad_len, dtype=np.float32)
+    xp[:Lc] = x_np
+    out = ds_bank(jnp.asarray(xp), bank["Ufd"], bank["sum_u"],
+                  bank["d_mask"], bank["n"], int(nc), int(nfft))
+    n_valid = (Lc - n) // int(nc) + 1
+    if n_valid <= 0:
+        return np.zeros((out.shape[0], 0), dtype=np.float32)
+    return np.asarray(out[:, :n_valid])
+
+
+# ---------------------------------------------------------------------------
+# Host-side numpy oracle (used by tests and as a CPU fallback). This is the
+# straightforward transliteration of the math above in float64.
+# ---------------------------------------------------------------------------
+
+
+def ds_numpy(x, U, nc):
+    """float64 reference implementation of the DS statistic."""
+    x = np.asarray(x, np.float64)
+    U = np.asarray(U, np.float64)
+    D, n = U.shape
+    Lc = len(x)
+    # nfft >= Lc keeps the sliced region [n-1:Lc] free of circular wrap
+    nfft = 2 ** int(Lc).bit_length()
+    c = np.cumsum(np.insert(x, 0, 0.0))
+    c2 = np.cumsum(np.insert(x * x, 0, 0.0))
+    rsum = c[n:] - c[:-n]
+    rsum2 = c2[n:] - c2[:-n]
+    a = rsum / n
+    var_samp = (rsum2 - rsum * rsum / n) / (n - 1)
+    power = var_samp * n
+    xfd = np.fft.rfft(x, nfft)
+    Ufd = np.fft.rfft(U[:, ::-1], nfft, axis=-1)
+    cc = np.fft.irfft(Ufd * xfd[None, :], nfft, axis=-1)[:, n - 1:Lc]
+    y = cc - U.sum(axis=1)[:, None] * a[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ds = (y ** 2).sum(axis=0) / power
+    return ds[::nc]

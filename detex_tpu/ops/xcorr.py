@@ -1,0 +1,188 @@
+"""
+Batched FFT normalized cross-correlation kernels.
+
+Replaces the reference's O(N^2) Python pair loop (_makeDFcclags,
+construct.py:369-394, calling _CCX2 at :425-466) with single batched device
+calls: one rFFT per event, then all pairs correlated as one vmapped
+elementwise-multiply + irFFT. Also provides the sliding normalized
+correlation used for validation and magnitudes (fast_normcorr,
+construct.py:469-483).
+
+Semantics matched to the reference:
+  - full-lag correlation c1 = [c[-(n-1):], c[:n]] (lags -(n-1)..(n-1))
+  - channel-decimated striding ``[Nc-1::Nc]`` so multiplexed channels are
+    never mixed (construct.py:452)
+  - edge truncation ``trunc = n // (2*Nc) - 1`` samples on both ends
+  - normalization by window population std and template std
+  - values outside [-1, 1] (infs from zeroed windows) are zeroed
+  - integer lag = (argmax + 1 + trunc) * Nc - n
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from detex_tpu.ops.rolling import rolling_mean, rolling_std
+from detex_tpu.ops.subsample import subsample_shift
+
+
+def next_pow2(n):
+    return 1 << (int(n) - 1).bit_length()
+
+
+def fft_len_for(n):
+    """Reference FFT length: 2^bit_length(2n) (construct.py:672-674)."""
+    return 2 ** int(2 * int(n)).bit_length()
+
+
+def _pair_cc_one(Fi, Fj, a_j, b_j, sum_i, std_i, n, nc, nfft):
+    """
+    Correlate one pair given precomputed spectra and rolling stats of event
+    j. Fi, Fj: [R] complex rffts; a_j, b_j: [2n-1] rolling mean/pop-std of
+    the (n-1)-zero-padded event j; sum_i, std_i: scalars of event i.
+    Returns (maxcc, lag_samples, subsamp) scalars.
+    """
+    trunc = n // (2 * nc) - 1
+    c = jnp.fft.irfft(jnp.conj(Fi) * Fj, nfft)
+    c1 = jnp.concatenate([c[nfft - (n - 1):], c[:n]])  # lags -(n-1)..(n-1)
+    denom = n * b_j * std_i
+    result = (c1 - sum_i * a_j) / jnp.where(denom == 0, jnp.nan, denom)
+    result = result[nc - 1::nc]
+    if trunc > 0:
+        result = result[trunc:-trunc]
+    # replace any |cc| > 1 (infs from zero-filled data) with 0
+    bad = (result > 1.0) | (result < -1.0)
+    result = jnp.where(bad, 0.0, result)
+    allnan = jnp.all(jnp.isnan(result))
+    safe = jnp.where(jnp.isnan(result), -jnp.inf, result)
+    maxind = jnp.argmax(safe)
+    maxcc = jnp.where(allnan, 0.0, safe[maxind])
+    lag = (maxind + 1 + trunc) * nc - n
+    lag = jnp.where(allnan, 0, lag)
+    subs = jnp.where(allnan, 0.0,
+                     subsample_shift(jnp.nan_to_num(result), maxind))
+    return maxcc, lag, subs
+
+
+@partial(jax.jit, static_argnames=("n", "nc", "nfft"))
+def _pairs_batch(Fi, Fj, a_j, b_j, sums_i, stds_i, n, nc, nfft):
+    fn = lambda fi, fj, aj, bj, si, sdi: _pair_cc_one(  # noqa: E731
+        fi, fj, aj, bj, si, sdi, n, nc, nfft)
+    return jax.vmap(fn)(Fi, Fj, a_j, b_j, sums_i, stds_i)
+
+
+def xcorr_all_pairs(X, nc, nfft=None, pair_batch=2048, dtype=jnp.float32):
+    """
+    All-pairs normalized xcorr of multiplexed event waveforms.
+
+    Parameters
+    ----------
+    X : array [N, n]
+        Multiplexed, equal-length event waveforms (host numpy ok).
+    nc : int
+        Number of interleaved channels.
+    nfft : int or None
+        FFT length; defaults to the reference's 2^bit_length(2n).
+    pair_batch : int
+        Pairs per device call (memory control).
+
+    Returns
+    -------
+    (cc, lag, subsamp): [N, N] numpy arrays; upper triangle (i<j) filled,
+    rest NaN (cc/subsamp) / 0 (lag), mirroring the reference DataFrames.
+    """
+    X = np.asarray(X)
+    N, n = X.shape
+    if nfft is None:
+        nfft = fft_len_for(n)
+    Xd = jnp.asarray(X, dtype=dtype)
+    # per-event precomputations (batched on device)
+    F = jnp.fft.rfft(Xd, int(nfft), axis=-1)
+    sums = jnp.sum(Xd, axis=-1)
+    stds = jnp.std(Xd, axis=-1)
+    padded = jnp.pad(Xd, ((0, 0), (n - 1, n - 1)))
+    a = jax.vmap(lambda x: rolling_mean(x, n))(padded)
+    b = jax.vmap(lambda x: rolling_std(x, n))(padded)
+
+    iu, ju = np.triu_indices(N, k=1)
+    cc = np.full((N, N), np.nan)
+    lag = np.zeros((N, N))
+    sub = np.full((N, N), np.nan)
+    P = len(iu)
+    bsz = min(pair_batch, P) if P else 0
+    for s in range(0, P, max(bsz, 1)):
+        ii0 = iu[s:s + bsz]
+        jj0 = ju[s:s + bsz]
+        k = len(ii0)
+        ii, jj = ii0, jj0
+        if k < bsz:  # pad final batch to constant size (avoid recompiles)
+            ii = np.concatenate([ii, np.zeros(bsz - k, int)])
+            jj = np.concatenate([jj, np.ones(bsz - k, int)])
+        mx, lg, sb = _pairs_batch(F[ii], F[jj], a[jj], b[jj], sums[ii],
+                                  stds[ii], int(n), int(nc), int(nfft))
+        cc[ii0, jj0] = np.asarray(mx)[:k]
+        lag[ii0, jj0] = np.asarray(lg)[:k]
+        sub[ii0, jj0] = np.asarray(sb)[:k]
+    return cc, lag, sub
+
+
+def ccx2(mptd1, mptd2, nc, nfft=None, dtype=jnp.float32):
+    """
+    Single-pair normalized xcorr: max cc, integer lag, subsample shift —
+    the reference's _CCX2 (construct.py:425-466) as one device call.
+    """
+    X = np.stack([np.asarray(mptd1), np.asarray(mptd2)])
+    cc, lag, sub = xcorr_all_pairs(X, nc, nfft=nfft, dtype=dtype)
+    return cc[0, 1], lag[0, 1], sub[0, 1]
+
+
+# ---------------------------------------------------------------------------
+# Sliding normalized correlation (fast_normcorr)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("nfft", "outlen"))
+def _normcorr_bank_kernel(NT_fd, s_fd, sums, a, b, nfft, outlen):
+    c = jnp.fft.irfft(jnp.conj(NT_fd) * s_fd[None, :], nfft,
+                      axis=-1)[:, :outlen]
+    return (c - sums[:, None] * a[None, :outlen]) / \
+        jnp.where(b == 0, jnp.nan, b)[None, :outlen]
+
+
+def normcorr_bank(T, s, dtype=jnp.float32):
+    """Batched sliding normalized correlation ('valid' mode): templates
+    T [K, n] against one series s [L] -> [K, L - n + 1]."""
+    T = np.asarray(T)
+    s = np.asarray(s)
+    K, n = T.shape
+    L = len(s)
+    nfft = next_pow2(L + n)
+    Td = jnp.asarray(T, dtype)
+    sd = jnp.asarray(s, dtype)
+    NT = (Td - jnp.mean(Td, axis=1, keepdims=True)) / \
+        (jnp.std(Td, axis=1, keepdims=True) * n)
+    a = rolling_mean(sd, n)
+    b = rolling_std(sd, n)
+    # correlation == convolution with reversed template; rfft of reversed
+    # normalized template conj-multiplied with the series spectrum
+    NT_fd = jnp.fft.rfft(NT, nfft, axis=-1)
+    s_fd = jnp.fft.rfft(sd, nfft)
+    out = _normcorr_bank_kernel(NT_fd, s_fd, jnp.sum(NT, axis=1), a, b,
+                                int(nfft), int(L - n + 1))
+    return np.asarray(out)
+
+
+def normcorr(t, s, dtype=jnp.float32):
+    """
+    Normalized sliding correlation of template ``t`` against series ``s``
+    (reference fast_normcorr, construct.py:469-483, including the swap when
+    t is longer than s). Returns a length len(s)-len(t)+1 numpy array.
+    """
+    t = np.asarray(t)
+    s = np.asarray(s)
+    if len(t) > len(s):
+        t, s = s, t
+    return normcorr_bank(t[None, :], s, dtype=dtype)[0]

