@@ -34,15 +34,13 @@ def main():
     n = int(tmpl_sec * sr * nc)          # 9000
     chunk_sec = 3600.0
     Lc = int(chunk_sec * sr * nc)        # 1,080,000
-    nfft = 2 ** int(Lc + n).bit_length()  # reference fft sizing
     D = 4                                 # basis dims after energy capture
     rng = np.random.default_rng(0)
     A = rng.standard_normal((D, n))
     q, _ = np.linalg.qr(A.T)
     U = np.ascontiguousarray(q[:, :D].T)
-    bank = dsops.make_bank([U], nfft)
+    bank = dsops.build_bank([U], nc, Lc)  # demuxed fast path
     thresholds = np.full(1, 0.99, np.float32)
-    bins = jnp.asarray(np.linspace(0, 1, 401), jnp.float32)
 
     B = 8  # chunks per device call
     # distinct inputs per iteration + a dependency chain between steps:
@@ -53,9 +51,7 @@ def main():
     buff = int(20 * sr)
 
     def step(X):
-        return pscan.scan_chunks(X, bank["Ufd"], bank["sum_u"],
-                                 bank["d_mask"], thresholds, bins,
-                                 bank["n"], nc, nfft, buff, 16)
+        return pscan.scan_chunks(X, bank, thresholds, nc, buff, max_trig=16)
 
     # warmup/compile
     out = step(Xs[0])

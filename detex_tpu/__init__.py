@@ -138,7 +138,10 @@ def closeLogger():
 from detex_tpu import core          # noqa: E402
 from detex_tpu import ops           # noqa: E402
 from detex_tpu import data          # noqa: E402
+from detex_tpu import interop       # noqa: E402
 from detex_tpu import util          # noqa: E402
+from detex_tpu import native        # noqa: E402
+from detex_tpu import quality_check  # noqa: E402
 from detex_tpu import construct     # noqa: E402
 from detex_tpu import subspace      # noqa: E402
 from detex_tpu import fas           # noqa: E402

@@ -36,8 +36,12 @@ def _bandpass_sos(freqmin, freqmax, sr, corners):
 
 
 def bandpass(data, freqmin, freqmax, sr, corners=4, zerophase=False):
-    """Butterworth bandpass, matching obspy.signal.filter.bandpass."""
+    """Butterworth bandpass, matching obspy.signal.filter.bandpass.
+    Uses the native C++ SOS kernel when built (detex_tpu.native)."""
     sos = _bandpass_sos(freqmin, freqmax, sr, corners)
+    from detex_tpu import native as _native
+    if _native.available():
+        return _native.sosfilt(sos, data, zerophase=zerophase)
     out = _sig.sosfilt(sos, np.asarray(data))
     if zerophase:
         out = _sig.sosfilt(sos, out[::-1])[::-1]
@@ -65,7 +69,10 @@ def highpass(data, freq, sr, corners=4, zerophase=False):
 
 
 def detrend_linear(data):
-    """Remove a best-fit line (scipy linear detrend)."""
+    """Remove a best-fit line (native C++ when built, else scipy)."""
+    from detex_tpu import native as _native
+    if _native.available():
+        return _native.detrend_linear(data)
     return _sig.detrend(np.asarray(data, dtype=np.float64), type="linear")
 
 

@@ -144,19 +144,19 @@ class _SSDetex(object):
                 U=U, WFs=WFs, UtU=UtU, n=dlen, reqlen=reqlen, mags=mags,
                 events=events, offsets=row.Offsets,
                 WFU=np.dot(WFs, UtU))
-        # group by template length into banks
+        # group by template length into banks (demuxed fast path when the
+        # template length divides into the channels)
         banks = []
         by_n = {}
         for name in sorted(det):
             by_n.setdefault(det[name]["n"], []).append(name)
-        max_reqlen = max(d["reqlen"] for d in det.values())
-        nfft = 2 ** int(max_reqlen).bit_length()
         pad_len = int(dataLength * samplingRate * Nc)
         for n, names in sorted(by_n.items()):
-            bank = _ds.make_bank([det[nm]["U"] for nm in names], nfft)
+            bank = _ds.build_bank([det[nm]["U"] for nm in names], Nc,
+                                  pad_len)
             bank["names"] = names
             banks.append(bank)
-        return det, banks, nfft, pad_len
+        return det, banks
 
     def _corDat(self, threshold, sta, channels, names, DFsta, samplingRate,
                 stakey):
@@ -167,8 +167,8 @@ class _SSDetex(object):
         histdic = {na: np.zeros(len(self.hist["Bins"]) - 1)
                    for na in names} if self.calcHist else None
         nc = len(channels)
-        det, banks, nfft, pad_len = self._prepareDetectors(
-            DFsta, sta, channels, samplingRate)
+        det, banks = self._prepareDetectors(DFsta, sta, channels,
+                                            samplingRate)
         if self.classifyEvents is not None:
             datGen = self.fetcher.getTemData(self.eveKey, stakey,
                                              returnName=False,
@@ -183,8 +183,7 @@ class _SSDetex(object):
                               " %s" % (stakey.STATION.iloc[0], utc1, utc2),
                               level="warning", pri=True)
                 continue
-            result = self._scanChunk(st, det, banks, nfft, pad_len, nc, sta,
-                                     utc1, utc2)
+            result = self._scanChunk(st, det, banks, nc, sta, utc1, utc2)
             if result is None:
                 continue
             dsdict, MPcon, sr, tstamp = result
@@ -238,7 +237,7 @@ class _SSDetex(object):
                       % (detType, sta, len(DF) + numdets), pri=True)
         return histdic if self.calcHist else None
 
-    def _scanChunk(self, st, det, banks, nfft, pad_len, nc, sta, utc1, utc2):
+    def _scanChunk(self, st, det, banks, nc, sta, utc1, utc2):
         """Filter, multiplex and run all detector banks on one chunk
         (the reference's _getRA, detect.py:220-296)."""
         try:
@@ -260,7 +259,7 @@ class _SSDetex(object):
             return None
         dsdict = {}
         for bank in banks:
-            ds = _ds.run_bank(MPcon, bank, nc, nfft, pad_len=pad_len)
+            ds = _ds.run_bank(MPcon, bank, nc)
             for i, name in enumerate(bank["names"]):
                 vec = ds[i]
                 if len(vec) < 10:

@@ -37,11 +37,7 @@ def _initFAS(TRDF, conDatNum, cluster, fetcher, LTATime=5, STATime=0.5,
             U, Nc, sr = _loadMPSubSpace(row)
         else:
             U, Nc, sr = _loadMPSingles(row)
-        n = U.shape[1]
-        reqlen = int(conLen * sr * Nc + n)
-        nfft = 2 ** int(reqlen).bit_length()
-        pad_len = int(conLen * sr * Nc)
-        bank = _ds.make_bank([U], nfft)
+        bank = _ds.build_bank([U], Nc, int(conLen * sr * Nc))
         sta = row.Station.split(".")[1]
         stakey = cluster.stakey[cluster.stakey.STATION == sta]
         utc1 = UTCDateTime(stakey.iloc[0].STARTTIME) if utcstart is None \
@@ -52,7 +48,7 @@ def _initFAS(TRDF, conDatNum, cluster, fetcher, LTATime=5, STATime=0.5,
         deci = cluster.decimate
         dsvec, count, scount = _getDSVect(
             fetcher, stakey, utc1, utc2, filt, deci, dtype, conDatNum, Nc,
-            bank, nfft, pad_len, STATime, LTATime, staltalimit)
+            bank, STATime, LTATime, staltalimit)
         if count != conDatNum:
             detex_tpu.log(__name__, "%d samps not available, using all "
                           "available" % conDatNum, level="warning")
@@ -63,7 +59,7 @@ def _initFAS(TRDF, conDatNum, cluster, fetcher, LTATime=5, STATime=0.5,
                           % (staltalimit, sta), level="warning", pri=True)
             dsvec, count, scount = _getDSVect(
                 fetcher, stakey, utc1, utc2, filt, deci, dtype, conDatNum,
-                Nc, bank, nfft, pad_len, STATime, LTATime, None)
+                Nc, bank, STATime, LTATime, None)
         if len(dsvec) == 0:
             detex_tpu.log(__name__, "Could not calculate FAS for %s %s"
                           % (row.Station, row.Name), level="error")
@@ -79,7 +75,7 @@ def _initFAS(TRDF, conDatNum, cluster, fetcher, LTATime=5, STATime=0.5,
 
 
 def _getDSVect(fetcher, stakey, utc1, utc2, filt, deci, dtype, conDatNum,
-               Nc, bank, nfft, pad_len, sta, lta, limit):
+               Nc, bank, sta, lta, limit):
     """Collect DS vectors over random continuous chunks
     (reference fas.py:89-117)."""
     stgen = fetcher.getConData(stakey, utcstart=utc1, utcend=utc2,
@@ -99,7 +95,7 @@ def _getDSVect(fetcher, stakey, utc1, utc2, filt, deci, dtype, conDatNum,
         if scount >= conDatNum:
             break
         mpCon = _construct.multiplex(st, Nc)
-        dsVect = _ds.run_bank(mpCon, bank, Nc, nfft, pad_len=pad_len)[0]
+        dsVect = _ds.run_bank(mpCon, bank, Nc)[0]
         DSmat.append(dsVect)
         scount += 1
     if count == 0:

@@ -1,0 +1,142 @@
+"""
+ctypes bindings for the native host library (native/detex_host.cpp).
+
+Auto-builds the shared library with g++ on first use if a compiler is
+available; every entry point has a numpy/scipy fallback so the framework
+works without a toolchain. Use ``available()`` to check.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_SO = os.path.join(_DIR, "libdetex_host.so")
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_SO):
+        src = os.path.join(_DIR, "detex_host.cpp")
+        if not os.path.exists(src):
+            return None
+        try:
+            subprocess.run(["g++", "-O3", "-shared", "-fPIC", src,
+                            "-o", _SO], check=True, capture_output=True,
+                           timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    dptr = ctypes.POINTER(ctypes.c_double)
+    lib.detex_sosfilt.argtypes = [dptr, ctypes.c_int, dptr, ctypes.c_int64,
+                                  ctypes.c_int]
+    lib.detex_detrend_linear.argtypes = [dptr, ctypes.c_int64]
+    lib.detex_interleave.argtypes = [dptr, ctypes.c_int, ctypes.c_int64,
+                                     dptr]
+    lib.detex_prep_chunk.argtypes = [dptr, ctypes.c_int, ctypes.c_int64,
+                                     dptr, ctypes.c_int, ctypes.c_int, dptr]
+    lib.detex_prep_chunk.restype = ctypes.c_int
+    lib.detex_rolling_std.argtypes = [dptr, ctypes.c_int64, ctypes.c_int64,
+                                      dptr]
+    lib.detex_abi_version.restype = ctypes.c_int
+    if lib.detex_abi_version() != 1:
+        return None
+    _LIB = lib
+    return _LIB
+
+
+def available():
+    return _load() is not None
+
+
+def _as_c(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def sosfilt(sos, data, zerophase=False):
+    """In-place-sem SOS filter (returns a new array); scipy-compatible."""
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.float64).copy()
+    sos = np.ascontiguousarray(sos, dtype=np.float64)
+    if lib is None:
+        from scipy import signal as _sig
+        out = _sig.sosfilt(sos, data)
+        if zerophase:
+            out = _sig.sosfilt(sos, out[::-1])[::-1]
+        return out
+    lib.detex_sosfilt(_as_c(sos), sos.shape[0], _as_c(data), len(data),
+                      1 if zerophase else 0)
+    return data
+
+
+def detrend_linear(data):
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.float64).copy()
+    if lib is None:
+        from scipy import signal as _sig
+        return _sig.detrend(data, type="linear")
+    lib.detex_detrend_linear(_as_c(data), len(data))
+    return data
+
+
+def interleave(chans):
+    """Multiplex a [nc, n] channel stack (Fortran-flatten equivalent)."""
+    lib = _load()
+    chans = np.ascontiguousarray(chans, dtype=np.float64)
+    if lib is None:
+        return chans.flatten(order="F")
+    nc, n = chans.shape
+    out = np.empty(nc * n, dtype=np.float64)
+    lib.detex_interleave(_as_c(chans), nc, n, _as_c(out))
+    return out
+
+
+def prep_chunk(chans, sos=None, zerophase=True):
+    """Fused detrend -> bandpass -> interleave of a [nc, n] chunk."""
+    lib = _load()
+    chans = np.ascontiguousarray(chans, dtype=np.float64).copy()
+    nc, n = chans.shape
+    if lib is None:
+        from scipy import signal as _sig
+        for c in range(nc):
+            chans[c] = _sig.detrend(chans[c], type="linear")
+            if sos is not None:
+                y = _sig.sosfilt(sos, chans[c])
+                if zerophase:
+                    y = _sig.sosfilt(sos, y[::-1])[::-1]
+                chans[c] = y
+        return chans.flatten(order="F")
+    out = np.empty(nc * n, dtype=np.float64)
+    if sos is None:
+        sosarr = np.zeros((0, 6))
+        nsec = 0
+    else:
+        sosarr = np.ascontiguousarray(sos, dtype=np.float64)
+        nsec = sosarr.shape[0]
+    lib.detex_prep_chunk(_as_c(chans), nc, n, _as_c(sosarr), nsec,
+                         1 if zerophase else 0, _as_c(out))
+    return out
+
+
+def rolling_std(x, win):
+    """Trailing rolling sample std (ddof=1), length len(x) - win + 1."""
+    lib = _load()
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    if lib is None or len(x) < win or win < 2:
+        from detex_tpu.detect import _np_rolling_std
+        return _np_rolling_std(x, win)
+    out = np.empty(len(x) - win + 1, dtype=np.float64)
+    lib.detex_rolling_std(_as_c(x), len(x), win, _as_c(out))
+    return out

@@ -137,7 +137,111 @@ def make_bank(U_list, nfft, dtype=jnp.float32):
                 d_mask=jnp.asarray(mask), n=int(n), Dmax=int(Dmax))
 
 
-def run_bank(x_np, bank, nc, nfft, pad_len=None):
+# ---------------------------------------------------------------------------
+# Demultiplexed (polyphase) formulation — the production fast path.
+#
+# The DS is only evaluated at channel-aligned window starts (the reference's
+# [::Nc] stride, detect.py:578). At those lags the multiplexed correlation
+# decomposes exactly into a sum of per-channel correlations:
+#     c_d(m*Nc) = sum_c corr(x_c, u_{d,c})[m]
+# so instead of one length-nfft irFFT per basis over the interleaved stream,
+# we do one length-(nfft/Nc) irFFT per basis of the channel-summed cross
+# spectra — ~4x less FFT work and 3x smaller intermediate arrays, with
+# bit-identical math (up to f32 rounding).
+# ---------------------------------------------------------------------------
+
+
+def make_bank_demux(U_list, nc, nfft2, dtype=jnp.float32):
+    """
+    Pack [D_i, n] multiplexed basis arrays into a demultiplexed bank:
+    Ufd2 [S, Dmax, nc, R2] (rfft of reversed per-channel templates at
+    nfft2), sum_u [S, Dmax], d_mask, n (multiplexed), n_c = n // nc.
+    """
+    n = U_list[0].shape[1]
+    assert n % nc == 0, "template length must be a multiple of nc"
+    S = len(U_list)
+    Dmax = max(u.shape[0] for u in U_list)
+    n_c = n // nc
+    Ud = np.zeros((S, Dmax, nc, n_c), dtype=np.float64)
+    mask = np.zeros((S, Dmax), dtype=bool)
+    sum_u = np.zeros((S, Dmax), dtype=np.float64)
+    for i, u in enumerate(U_list):
+        for d in range(u.shape[0]):
+            Ud[i, d] = np.asarray(u[d]).reshape(n_c, nc).T
+        mask[i, :u.shape[0]] = True
+        sum_u[i, :u.shape[0]] = u.sum(axis=-1)
+    Ufd2 = jnp.fft.rfft(jnp.asarray(Ud[..., ::-1], dtype), int(nfft2),
+                        axis=-1)
+    return dict(Ufd2=Ufd2, sum_u=jnp.asarray(sum_u, dtype),
+                d_mask=jnp.asarray(mask), n=int(n), n_c=int(n_c),
+                Dmax=int(Dmax), nc=int(nc), nfft2=int(nfft2), demux=True)
+
+
+@partial(jax.jit, static_argnames=("n_c", "nc", "nfft2"))
+def ds_bank_demux(x, Ufd2, sum_u, d_mask, n_c, nc, nfft2):
+    """
+    DS of one multiplexed chunk against a demuxed bank.
+    x: [Lc] (Lc divisible by nc). Returns [S, Lc//nc - n_c + 1].
+    """
+    Lc = x.shape[0]
+    L_c = Lc // nc
+    n = n_c * nc
+    mu = jnp.mean(x)
+    sd = jnp.std(x)
+    xs = (x - mu) / jnp.where(sd == 0, 1.0, sd)
+    xc = xs.reshape(L_c, nc).T                       # [nc, L_c]
+
+    # per-channel rolling sums -> multiplexed window stats at strided starts
+    s1 = jax.vmap(lambda v: rolling_mean(v, n_c))(xc).sum(0) * n_c  # [M]
+    s2 = jax.vmap(lambda v: rolling_mean(v * v, n_c))(xc).sum(0) * n_c
+    a = s1 / n
+    var_samp = (s2 - s1 * s1 / n) / (n - 1.0)
+    power = jnp.maximum(var_samp, 0.0) * n
+
+    xfd = jnp.fft.rfft(xc, nfft2, axis=-1)           # [nc, R2]
+    # sum cross-spectra over channels, then ONE irfft per (S, D)
+    spec = jnp.einsum("sdcr,cr->sdr", Ufd2, xfd)     # [S, Dmax, R2]
+    cc = jnp.fft.irfft(spec, nfft2, axis=-1)[:, :, n_c - 1:L_c]
+    y = cc - sum_u[:, :, None] * a[None, None, :]
+    y = jnp.where(d_mask[:, :, None], y, 0.0)
+    num = jnp.sum(y * y, axis=1)
+    return num / jnp.where(power == 0, jnp.inf, power)[None, :]
+
+
+@partial(jax.jit, static_argnames=("n_c", "nc", "nfft2"))
+def ds_bank_demux_chunks(X, Ufd2, sum_u, d_mask, n_c, nc, nfft2):
+    """Batch over chunks: X [B, Lc] -> [B, S, out]."""
+    return jax.vmap(lambda x: ds_bank_demux(x, Ufd2, sum_u, d_mask, n_c, nc,
+                                            nfft2))(X)
+
+
+def build_bank(U_list, nc, data_len_samps, dtype=jnp.float32):
+    """
+    Pack basis arrays into the fastest applicable bank for scanning chunks
+    of ``data_len_samps`` multiplexed samples: the demultiplexed (polyphase)
+    form when the template length divides into the channels, else the
+    multiplexed form. Also records ``pad_len`` (fixed chunk padding) and the
+    FFT length.
+    """
+    n = U_list[0].shape[1]
+    pad_len = int(data_len_samps)
+    pad_len += (-pad_len) % nc  # keep divisible by nc
+    if n % nc == 0:
+        n_c = n // nc
+        L_c = pad_len // nc
+        nfft2 = 2 ** int(L_c + n_c).bit_length()
+        bank = make_bank_demux(U_list, nc, nfft2, dtype)
+    else:
+        nfft = 2 ** int(pad_len + n).bit_length()
+        bank = make_bank(U_list, nfft, dtype)
+        bank["nfft"] = nfft
+        bank["demux"] = False
+        bank["nc"] = int(nc)
+    bank["pad_len"] = pad_len
+    return bank
+
+
+def run_bank(x_np, bank, nc, nfft=None, pad_len=None):
     """
     Run a detector bank over one (possibly ragged) host chunk with
     fixed-shape padding so XLA compiles once per (pad_len, bank) shape.
@@ -150,14 +254,21 @@ def run_bank(x_np, bank, nc, nfft, pad_len=None):
     Lc = len(x_np)
     n = bank["n"]
     if pad_len is None:
-        pad_len = Lc
+        pad_len = bank.get("pad_len", Lc + ((-Lc) % nc))
     if Lc > pad_len:
         x_np = x_np[:pad_len]
         Lc = pad_len
     xp = np.zeros(pad_len, dtype=np.float32)
     xp[:Lc] = x_np
-    out = ds_bank(jnp.asarray(xp), bank["Ufd"], bank["sum_u"],
-                  bank["d_mask"], bank["n"], int(nc), int(nfft))
+    if bank.get("demux"):
+        out = ds_bank_demux(jnp.asarray(xp), bank["Ufd2"], bank["sum_u"],
+                            bank["d_mask"], bank["n_c"], int(nc),
+                            bank["nfft2"])
+    else:
+        if nfft is None:
+            nfft = bank["nfft"]
+        out = ds_bank(jnp.asarray(xp), bank["Ufd"], bank["sum_u"],
+                      bank["d_mask"], bank["n"], int(nc), int(nfft))
     n_valid = (Lc - n) // int(nc) + 1
     if n_valid <= 0:
         return np.zeros((out.shape[0], 0), dtype=np.float32)

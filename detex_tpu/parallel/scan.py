@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
+
 try:
     from jax import shard_map
 except ImportError:  # older jax
@@ -38,10 +39,31 @@ def _hist_counts(ds, bins):
     return counts[:nb]
 
 
-def _chunk_fn(x, Ufd, sum_u, d_mask, thresholds, bins, n, nc, nfft,
-              buff_samps, max_trig):
+def _bank_arrays(bank):
+    """The device arrays of a bank (leading pytree args for jit)."""
+    if bank.get("demux"):
+        return (bank["Ufd2"], bank["sum_u"], bank["d_mask"])
+    return (bank["Ufd"], bank["sum_u"], bank["d_mask"])
+
+
+def _bank_statics(bank, nc):
+    if bank.get("demux"):
+        return dict(demux=True, n_c=bank["n_c"], nc=int(nc),
+                    nfft=bank["nfft2"])
+    return dict(demux=False, n_c=bank["n"], nc=int(nc), nfft=bank["nfft"])
+
+
+def _ds_of(x, arrs, demux, n_c, nc, nfft):
+    if demux:
+        return _ds.ds_bank_demux(x, arrs[0], arrs[1], arrs[2], n_c, nc,
+                                 nfft)
+    return _ds.ds_bank(x, arrs[0], arrs[1], arrs[2], n_c, nc, nfft)
+
+
+def _chunk_fn(x, arrs, thresholds, bins, demux, n_c, nc, nfft, buff_samps,
+              max_trig):
     """Process one chunk: DS for the whole bank + hist + triggers."""
-    ds = _ds.ds_bank(x, Ufd, sum_u, d_mask, n, nc, nfft)      # [S, out]
+    ds = _ds_of(x, arrs, demux, n_c, nc, nfft)                 # [S, out]
     hist = jax.vmap(lambda v: _hist_counts(v, bins))(ds)       # [S, nbins]
     maxds = jnp.max(ds, axis=-1)                               # [S]
 
@@ -56,19 +78,30 @@ def _chunk_fn(x, Ufd, sum_u, d_mask, thresholds, bins, n, nc, nfft,
     return hist, maxds, tidx, tval, tcnt
 
 
-@partial(jax.jit,
-         static_argnames=("n", "nc", "nfft", "buff_samps", "max_trig"))
-def scan_chunks(X, Ufd, sum_u, d_mask, thresholds, bins, n, nc, nfft,
-                buff_samps, max_trig=64):
-    """Single-device batched scan: X [B, Lc] -> per-chunk outputs."""
-    f = lambda x: _chunk_fn(x, Ufd, sum_u, d_mask, thresholds, bins,  # noqa
-                            n, nc, nfft, buff_samps, max_trig)
+@partial(jax.jit, static_argnames=("demux", "n_c", "nc", "nfft",
+                                   "buff_samps", "max_trig"))
+def _scan_chunks_jit(X, arrs, thresholds, bins, demux, n_c, nc, nfft,
+                     buff_samps, max_trig):
+    f = lambda x: _chunk_fn(x, arrs, thresholds, bins, demux, n_c,  # noqa
+                            nc, nfft, buff_samps, max_trig)
     hist, maxds, tidx, tval, tcnt = jax.vmap(f)(X)
     return hist.sum(axis=0), maxds, tidx, tval, tcnt
 
 
-def scan_chunks_sharded(mesh, X, bank, thresholds, nc, nfft,
-                        buff_samps, bins=None, max_trig=64, axis="chunks"):
+def scan_chunks(X, bank, thresholds, nc, buff_samps, bins=None, max_trig=64):
+    """Single-device batched scan: X [B, Lc] -> (hist, maxds, trig...)."""
+    if bins is None:
+        bins = DEFAULT_BINS
+    st = _bank_statics(bank, nc)
+    return _scan_chunks_jit(jnp.asarray(X, jnp.float32), _bank_arrays(bank),
+                            jnp.asarray(thresholds, jnp.float32),
+                            jnp.asarray(bins, jnp.float32), st["demux"],
+                            st["n_c"], st["nc"], st["nfft"],
+                            int(buff_samps), int(max_trig))
+
+
+def scan_chunks_sharded(mesh, X, bank, thresholds, nc, buff_samps,
+                        bins=None, max_trig=64, axis="chunks"):
     """
     Multi-chip scan of chunk batch X [B, Lc] (B divisible by mesh size).
 
@@ -77,20 +110,21 @@ def scan_chunks_sharded(mesh, X, bank, thresholds, nc, nfft,
     """
     if bins is None:
         bins = DEFAULT_BINS
-    bins = jnp.asarray(bins, jnp.float32)
-    thresholds = jnp.asarray(thresholds, jnp.float32)
-    n, Ufd, sum_u, d_mask = bank["n"], bank["Ufd"], bank["sum_u"], \
-        bank["d_mask"]
+    st = _bank_statics(bank, nc)
+    arrs = _bank_arrays(bank)
+    demux, n_c, nfft = st["demux"], st["n_c"], st["nfft"]
 
-    def shard_body(Xs, Ufd, sum_u, d_mask, thresholds, bins):
-        f = lambda x: _chunk_fn(x, Ufd, sum_u, d_mask, thresholds,  # noqa
-                                bins, n, nc, nfft, buff_samps, max_trig)
+    def shard_body(Xs, arrs, thresholds, bins):
+        f = lambda x: _chunk_fn(x, arrs, thresholds, bins, demux,   # noqa
+                                n_c, int(nc), nfft, int(buff_samps),
+                                int(max_trig))
         hist, maxds, tidx, tval, tcnt = jax.vmap(f)(Xs)
         hist = jax.lax.psum(hist.sum(axis=0), axis)
         return hist, maxds, tidx, tval, tcnt
 
     fn = shard_map(shard_body, mesh=mesh,
-                   in_specs=(P(axis), P(), P(), P(), P(), P()),
+                   in_specs=(P(axis), P(), P(), P()),
                    out_specs=(P(), P(axis), P(axis), P(axis), P(axis)))
-    return jax.jit(fn)(jnp.asarray(X, jnp.float32), Ufd, sum_u, d_mask,
-                       thresholds, bins)
+    return jax.jit(fn)(jnp.asarray(X, jnp.float32), arrs,
+                       jnp.asarray(thresholds, jnp.float32),
+                       jnp.asarray(bins, jnp.float32))

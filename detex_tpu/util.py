@@ -17,6 +17,13 @@ import pandas as pd
 
 import detex_tpu
 from detex_tpu.data.keys import readKey, req_columns  # noqa: F401  (re-export)
+from detex_tpu.interop import (  # noqa: F401  (re-exports, ref util.py API)
+    ANF2TemplateKey, EQSearch2TemplateKey, catalog2Templatekey,
+    inventory2StationKey, makeHypoInversePhaseFile,
+    makeHypoInverseStationFile, readANF, readHypo2000Sum, readHypo71Sum,
+    templateKey2Catalog, writeHypoDDEventInput, writeHypoDDStationInput,
+    writeKMLFromDF, writeKMLFromEQSearchSum, writeKMLFromHypDD,
+    writeKMLFromStationKey, writeKMLFromTemplateKey, writePhaseNLL)
 
 # ---------------------------------------------------------------------------
 # SQLite persistence (reference util.py:870-931)
@@ -128,6 +135,69 @@ def loadSubSpace(filename="subspace.pkl"):
 def saveObject(obj, filename):
     with open(filename, "wb") as fh:
         pickle.dump(obj, fh)
+
+
+# ---------------------------------------------------------------------------
+# Phase picking (file-based; replaces the reference's PyQt4 GUI workflow,
+# util.py:1006-1101 + streamPick.py)
+# ---------------------------------------------------------------------------
+
+
+def pickPhases(*args, **kwargs):
+    """The reference's interactive PyQt4 pick GUI is not supported; use
+    autoPickPhases for an automatic STA/LTA picker writing the same
+    PhasePicks.csv format, or supply your own picks file."""
+    detex_tpu.log(__name__, "interactive pickPhases GUI is not supported in "
+                  "detex_tpu; use detex_tpu.util.autoPickPhases or provide "
+                  "a picks csv (TimeStamp, Station, Event, Phase)",
+                  level="error", e=NotImplementedError)
+
+
+def autoPickPhases(templateKey="TemplateKey.csv", stationKey="StationKey.csv",
+                   fetch="EventWaveForms", fileName="PhasePicks.csv",
+                   staTime=0.5, ltaTime=5.0, threshold=3.0,
+                   filt=(1, 10, 2, True), tb4=10, taft=120, phase="P"):
+    """
+    Automatic phase picker (detex_tpu extension standing in for the GUI
+    workflow): for each station/event pair, bandpass the vertical (or first)
+    channel, run a classic STA/LTA, and record the first onset above
+    ``threshold`` to the standard picks csv (TimeStamp, Station, Event,
+    Phase). Saves incrementally every 10 events like the reference GUI
+    (util.py:1095).
+    """
+    import numpy as np
+    from detex_tpu.data import fetcher as getdata
+    from detex_tpu.ops.stalta import classic_sta_lta
+    temkey = readKey(templateKey, "template")
+    stakey = readKey(stationKey, "station")
+    fetcher = getdata.quickFetch(fetch)
+    rows = []
+    count = 0
+    for _, srow in stakey.iterrows():
+        gen = fetcher.getTemData(temkey, stakey[stakey.STATION ==
+                                                srow.STATION],
+                                 tb4, taft, returnName=True)
+        for st, name in gen:
+            if filt is not None:
+                st.filter("bandpass", freqmin=filt[0], freqmax=filt[1],
+                          corners=filt[2], zerophase=filt[3])
+            stz = st.select(component="Z")
+            tr = stz[0] if len(stz) else st[0]
+            sr = tr.stats.sampling_rate
+            cft = classic_sta_lta(tr.data, staTime * sr, ltaTime * sr)
+            above = np.flatnonzero(cft >= threshold)
+            if len(above) == 0:
+                continue
+            tpick = tr.stats.starttime.timestamp + above[0] / sr
+            rows.append(dict(TimeStamp=tpick,
+                             Station="%s.%s" % (srow.NETWORK, srow.STATION),
+                             Event=name, Phase=phase))
+            count += 1
+            if count % 10 == 0:
+                pd.DataFrame(rows).to_csv(fileName, index=False)
+    df = pd.DataFrame(rows)
+    df.to_csv(fileName, index=False)
+    return df
 
 
 # ---------------------------------------------------------------------------

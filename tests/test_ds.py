@@ -87,6 +87,20 @@ def test_ds_padded_equals_unpadded(rng):
     assert np.abs(padded - plain).max() < 2e-4
 
 
+def test_ds_demux_matches_oracle_planted(rng):
+    """Demuxed (polyphase) kernel vs float64 oracle, with a planted event
+    and a ragged (non-pad-length) chunk."""
+    x, U, pos, n = _make_case(rng)
+    nc = 3
+    bank = dsops.build_bank([U], nc, len(x) + 777)
+    assert bank.get("demux")
+    got = dsops.run_bank(x, bank, nc)[0]
+    want = dsops.ds_numpy(x, U, nc)
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() < 2e-5
+    assert abs(int(np.argmax(got)) - pos) <= 2
+
+
 def test_ds_upper_bound(rng):
     """With an orthonormal basis, DS stays <= ~1 (n/(n-1) normalization)."""
     x, U, pos, n = _make_case(rng, amp=8.0)
