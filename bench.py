@@ -17,9 +17,15 @@ host. Prints one JSON line.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent XLA compile cache: the big-FFT scan graph compiles slowly on
+# this host; cache it across runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
 def main():
@@ -70,11 +76,14 @@ def main():
     station_days = iters * B * chunk_hours / 24.0
     ours = station_days / dt  # station-days per second per chip
 
-    # reference-equivalent numpy core, one chunk (float64, single thread)
+    # reference-equivalent numpy core, one chunk (float64, single thread);
+    # best of two runs to damp host noise
     x64 = np.asarray(Xs[0][0], np.float64)
-    t0 = time.perf_counter()
-    dsops.ds_numpy(x64, U, nc)
-    ref_dt = time.perf_counter() - t0
+    ref_dt = np.inf
+    for _ in range(2):
+        t0 = time.perf_counter()
+        dsops.ds_numpy(x64, U, nc)
+        ref_dt = min(ref_dt, time.perf_counter() - t0)
     ref_rate = (chunk_hours / 24.0) / ref_dt
 
     print(json.dumps({

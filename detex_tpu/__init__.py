@@ -141,6 +141,7 @@ from detex_tpu import data          # noqa: E402
 from detex_tpu import interop       # noqa: E402
 from detex_tpu import util          # noqa: E402
 from detex_tpu import native        # noqa: E402
+from detex_tpu import profiling     # noqa: E402
 from detex_tpu import quality_check  # noqa: E402
 from detex_tpu import construct     # noqa: E402
 from detex_tpu import subspace      # noqa: E402

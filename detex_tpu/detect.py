@@ -17,6 +17,7 @@ import numpy as np
 import pandas as pd
 
 import detex_tpu
+from detex_tpu import profiling as _prof
 from detex_tpu import util as _util
 from detex_tpu.construct import _applyFilter, multiplex
 from detex_tpu.core.utc import UTCDateTime
@@ -241,8 +242,9 @@ class _SSDetex(object):
         """Filter, multiplex and run all detector banks on one chunk
         (the reference's _getRA, detect.py:220-296)."""
         try:
-            conSt = _applyFilter(st, self.filt, self.decimate, self.dtype,
-                                 fillZeros=self.fillZeros)
+            with _prof.stage("detect.filter"):
+                conSt = _applyFilter(st, self.filt, self.decimate,
+                                     self.dtype, fillZeros=self.fillZeros)
         except Exception:
             detex_tpu.log(__name__, "failed to filter chunk on %s, skipping"
                           % sta, level="warning", pri=True)
@@ -250,7 +252,8 @@ class _SSDetex(object):
         if len(conSt) < 1:
             return None
         sr = conSt[0].stats.sampling_rate
-        MPcon = multiplex(conSt, nc)
+        with _prof.stage("detect.multiplex"):
+            MPcon = multiplex(conSt, nc)
         tstamp = conSt[0].stats.starttime.timestamp
         if len(MPcon) <= max(d["n"] for d in det.values()):
             detex_tpu.log(__name__, "data block on %s from %s to %s is too "
@@ -259,7 +262,8 @@ class _SSDetex(object):
             return None
         dsdict = {}
         for bank in banks:
-            ds = _ds.run_bank(MPcon, bank, nc)
+            with _prof.stage("detect.ds_scan"):
+                ds = _ds.run_bank(MPcon, bank, nc)
             for i, name in enumerate(bank["names"]):
                 vec = ds[i]
                 if len(vec) < 10:

@@ -64,3 +64,31 @@ def extract_triggers(ceval, threshold, buff_samps,
                                        (ceval.astype(jnp.float32), out0,
                                         zero))
     return out, count
+
+
+@partial(jax.jit, static_argnames=("buff_samps", "max_triggers"))
+def extract_triggers_topk(ceval, threshold, buff_samps, max_triggers=64):
+    """
+    Fixed-iteration variant of extract_triggers: a ``lax.scan`` of exactly
+    ``max_triggers`` argmax+suppress steps (masked once the threshold is no
+    longer met). Identical outputs for up to ``max_triggers`` triggers, but
+    static-shape control flow that compiles and vmaps far better — used on
+    the batched/sharded scan path.
+    """
+    L = ceval.shape[0]
+    idx_range = jnp.arange(L)
+
+    def body(c, _):
+        i = jnp.argmax(c)
+        valid = c[i] >= threshold
+        lo = jnp.where(i < buff_samps + 1, 0, i - buff_samps)
+        hi = jnp.where(i < buff_samps + 1, i + buff_samps,
+                       jnp.where(i > L - buff_samps, L, i + buff_samps))
+        suppress = valid & (idx_range >= lo) & (idx_range < hi)
+        c = jnp.where(suppress, 0.0, c)
+        return c, jnp.where(valid, i.astype(jnp.int32), jnp.int32(-1))
+
+    _, out = jax.lax.scan(body, ceval.astype(jnp.float32), None,
+                          length=max_triggers)
+    count = jnp.sum((out >= 0).astype(jnp.int32))
+    return out, count

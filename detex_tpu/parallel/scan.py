@@ -30,13 +30,13 @@ DEFAULT_BINS = np.linspace(0, 1, 401)
 
 
 def _hist_counts(ds, bins):
-    """np.histogram-compatible device binning of DS values."""
-    nb = bins.shape[0] - 1
-    idx = jnp.clip(jnp.searchsorted(bins, ds, side="right") - 1, 0, nb - 1)
-    in_range = (ds >= bins[0]) & (ds <= bins[-1])
-    flat = jnp.where(in_range, idx, nb)  # out-of-range into an overflow bin
-    counts = jnp.zeros(nb + 1, dtype=jnp.int32).at[flat].add(1)
-    return counts[:nb]
+    """np.histogram-compatible device binning via sort + edge search
+    (compiles and runs far better on TPU than scatter-add)."""
+    s = jnp.sort(ds)
+    lo = jnp.searchsorted(s, bins[:-1], side="left")
+    hi_last = jnp.searchsorted(s, bins[-1], side="right")
+    pos = jnp.concatenate([lo, hi_last[None]])
+    return jnp.diff(pos).astype(jnp.int32)
 
 
 def _bank_arrays(bank):
@@ -68,8 +68,8 @@ def _chunk_fn(x, arrs, thresholds, bins, demux, n_c, nc, nfft, buff_samps,
     maxds = jnp.max(ds, axis=-1)                               # [S]
 
     def trig_one(v, th):
-        idx, cnt = _triggers.extract_triggers(v, th, buff_samps,
-                                              max_triggers=max_trig)
+        idx, cnt = _triggers.extract_triggers_topk(v, th, buff_samps,
+                                                   max_triggers=max_trig)
         vals = jnp.where(idx >= 0, v[jnp.clip(idx, 0, v.shape[0] - 1)],
                          jnp.nan)
         return idx, vals, cnt
@@ -84,7 +84,10 @@ def _scan_chunks_jit(X, arrs, thresholds, bins, demux, n_c, nc, nfft,
                      buff_samps, max_trig):
     f = lambda x: _chunk_fn(x, arrs, thresholds, bins, demux, n_c,  # noqa
                             nc, nfft, buff_samps, max_trig)
-    hist, maxds, tidx, tval, tcnt = jax.vmap(f)(X)
+    # lax.map (not vmap): compiles the chunk body once — these are
+    # million-sample chunks, so batching buys no fusion but multiplies the
+    # program size (and remote compile time) by B
+    hist, maxds, tidx, tval, tcnt = jax.lax.map(f, X)
     return hist.sum(axis=0), maxds, tidx, tval, tcnt
 
 
@@ -118,7 +121,7 @@ def scan_chunks_sharded(mesh, X, bank, thresholds, nc, buff_samps,
         f = lambda x: _chunk_fn(x, arrs, thresholds, bins, demux,   # noqa
                                 n_c, int(nc), nfft, int(buff_samps),
                                 int(max_trig))
-        hist, maxds, tidx, tval, tcnt = jax.vmap(f)(Xs)
+        hist, maxds, tidx, tval, tcnt = jax.lax.map(f, Xs)
         hist = jax.lax.psum(hist.sum(axis=0), axis)
         return hist, maxds, tidx, tval, tcnt
 

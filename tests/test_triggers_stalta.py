@@ -50,6 +50,17 @@ def test_triggers_suppression_window(rng):
     assert got == [4000, 6000]
 
 
+def test_triggers_topk_matches_while(rng):
+    C = np.abs(rng.standard_normal(20000)) * 0.05
+    for pos, amp in [(500, .9), (5000, .7), (5100, .95), (19990, .8)]:
+        C[pos] = amp
+    i1, c1 = triggers.extract_triggers(C, 0.5, 500, max_triggers=16)
+    i2, c2 = triggers.extract_triggers_topk(C, 0.5, 500, max_triggers=16)
+    assert int(c1) == int(c2)
+    assert np.asarray(i1)[:int(c1)].tolist() == \
+        np.asarray(i2)[:int(c2)].tolist()
+
+
 def stalta_oracle(C, LTA, STA):
     """Reference _getStaLtaArray with pandas (detect.py:501-524)."""
     C = np.asarray(C, dtype=np.float64)
