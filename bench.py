@@ -63,15 +63,23 @@ def main():
     out = step(Xs[0])
     jax.block_until_ready(out)
 
-    # measure steady state
+    # measure steady state: best of 3 repeats (the TPU service behind the
+    # tunnel has high run-to-run variance). Every step's input is made
+    # globally unique AND data-dependent on the previous step's output —
+    # the service memoizes byte-identical (program, input) launches, so
+    # both properties are required for honest timing.
     iters = 8
-    t0 = time.perf_counter()
-    acc = jnp.float32(0)
-    for i in range(iters):
-        hist, maxds, *_ = step(Xs[i % len(Xs)] + acc * 0)
-        acc = maxds.ravel()[0]
-    jax.block_until_ready(acc)
-    dt = time.perf_counter() - t0
+    dt = np.inf
+    for rep in range(3):
+        t0 = time.perf_counter()
+        acc = jnp.float32(rep)
+        for i in range(iters):
+            tag = (acc * 1e-20 + rep * 1000 + i).reshape(1, 1)
+            X = jax.lax.dynamic_update_slice(Xs[i % len(Xs)], tag, (0, 0))
+            hist, maxds, *_ = step(X)
+            acc = maxds.ravel()[0]
+        jax.block_until_ready(acc)
+        dt = min(dt, time.perf_counter() - t0)
     chunk_hours = chunk_sec / 3600.0
     station_days = iters * B * chunk_hours / 24.0
     ours = station_days / dt  # station-days per second per chip

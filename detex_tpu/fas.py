@@ -21,11 +21,16 @@ from detex_tpu.ops.stalta import classic_sta_lta
 
 def _initFAS(TRDF, conDatNum, cluster, fetcher, LTATime=5, STATime=0.5,
              numBins=401, dtype="double", staltalimit=7.5, issubspace=True,
-             utcstart=None, utcend=None):
+             utcstart=None, utcend=None, reverseTemplates=False):
     """
     Sample random continuous chunks and fit the DS null distribution for
     each subspace/singleton row of TRDF (reference fas.py:23-86). Returns a
     list of dicts: {'bins','hist','betadist','nnlf'} per row.
+
+    reverseTemplates=True scans with time-reversed basis vectors instead —
+    the Slinkard (2014) reverse-template null carried by the reference's
+    legacy matched-filter engine (extras/xcorr.py calcReverse), useful when
+    quiet continuous data are scarce.
     """
     TRDF = TRDF.reset_index(drop=True)
     results = [{} for _ in range(len(TRDF))]
@@ -37,6 +42,8 @@ def _initFAS(TRDF, conDatNum, cluster, fetcher, LTATime=5, STATime=0.5,
             U, Nc, sr = _loadMPSubSpace(row)
         else:
             U, Nc, sr = _loadMPSingles(row)
+        if reverseTemplates:
+            U = np.ascontiguousarray(U[:, ::-1])
         bank = _ds.build_bank([U], Nc, int(conLen * sr * Nc))
         sta = row.Station.split(".")[1]
         stakey = cluster.stakey[cluster.stakey.STATION == sta]
