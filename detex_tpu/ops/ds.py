@@ -38,6 +38,19 @@ from detex_tpu.ops.rolling import rolling_mean
 DEFAULT_MAX_DS_LEN = None
 
 
+def _use_pallas():
+    """Use the fused Pallas finalize on real TPU backends (override with
+    DETEX_TPU_PALLAS=0/1)."""
+    import os
+    env = os.environ.get("DETEX_TPU_PALLAS")
+    if env is not None:
+        return env != "0"
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def required_fft_len(data_len_samps, n):
     """Reference required FFT length: 2^bit_length(reqlen)
     (detect.py:368-371, fas.py:147-148)."""
@@ -202,10 +215,17 @@ def ds_bank_demux(x, Ufd2, sum_u, d_mask, n_c, nc, nfft2):
     # sum cross-spectra over channels, then ONE irfft per (S, D)
     spec = jnp.einsum("sdcr,cr->sdr", Ufd2, xfd)     # [S, Dmax, R2]
     cc = jnp.fft.irfft(spec, nfft2, axis=-1)[:, :, n_c - 1:L_c]
+    powsafe = jnp.where(power == 0, jnp.inf, power)
+    if _use_pallas():
+        from detex_tpu.ops.pallas_kernels import ds_finalize
+        # masked slots have cc rows == 0 (zero-padded templates) and we
+        # zero their sum_u so they drop out of the fused sum
+        su = jnp.where(d_mask, sum_u, 0.0)
+        return ds_finalize(cc, a, powsafe, su)
     y = cc - sum_u[:, :, None] * a[None, None, :]
     y = jnp.where(d_mask[:, :, None], y, 0.0)
     num = jnp.sum(y * y, axis=1)
-    return num / jnp.where(power == 0, jnp.inf, power)[None, :]
+    return num / powsafe[None, :]
 
 
 @partial(jax.jit, static_argnames=("n_c", "nc", "nfft2"))
