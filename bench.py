@@ -28,7 +28,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
-def main():
+def main(mode="subspace"):
     import jax
     import jax.numpy as jnp
     from detex_tpu.ops import ds as dsops
@@ -40,15 +40,25 @@ def main():
     n = int(tmpl_sec * sr * nc)          # 9000
     chunk_sec = 3600.0
     Lc = int(chunk_sec * sr * nc)        # 1,080,000
-    D = 4                                 # basis dims after energy capture
     rng = np.random.default_rng(0)
-    A = rng.standard_normal((D, n))
-    q, _ = np.linalg.qr(A.T)
-    U = np.ascontiguousarray(q[:, :D].T)
-    bank = dsops.build_bank([U], nc, Lc)  # demuxed fast path
-    thresholds = np.full(1, 0.99, np.float32)
-
-    B = 8  # chunks per device call
+    if mode == "network":
+        # BASELINE config 5 analog: a large matched-filter bank (one
+        # normalized template per detector) scanned per chunk
+        S = 256
+        T = rng.standard_normal((S, n))
+        U_list = [np.ascontiguousarray(
+            (t / np.linalg.norm(t))[None, :]) for t in T]
+        bank = dsops.build_bank(U_list, nc, Lc)
+        thresholds = np.full(S, 0.99, np.float32)
+        B = 2
+    else:
+        D = 4                             # basis dims after energy capture
+        A = rng.standard_normal((D, n))
+        q, _ = np.linalg.qr(A.T)
+        U = np.ascontiguousarray(q[:, :D].T)
+        bank = dsops.build_bank([U], nc, Lc)  # demuxed fast path
+        thresholds = np.full(1, 0.99, np.float32)
+        B = 8  # chunks per device call
     # distinct inputs per iteration + a dependency chain between steps:
     # this backend can elide duplicate launches, so timing must force real,
     # ordered execution of every step.
@@ -87,16 +97,23 @@ def main():
     # reference-equivalent numpy core, one chunk (float64, single thread);
     # best of two runs to damp host noise
     x64 = np.asarray(Xs[0][0], np.float64)
+    U_ref = U if mode != "network" else np.vstack(
+        [u[0] for u in U_list[:4]])
     ref_dt = np.inf
     for _ in range(2):
         t0 = time.perf_counter()
-        dsops.ds_numpy(x64, U, nc)
+        dsops.ds_numpy(x64, U_ref, nc)
         ref_dt = min(ref_dt, time.perf_counter() - t0)
+    if mode == "network":
+        # scale numpy cost from 4 to S templates (linear in detectors)
+        ref_dt = ref_dt * (len(U_list) / U_ref.shape[0])
     ref_rate = (chunk_hours / 24.0) / ref_dt
 
+    desc = ("10-event subspace" if mode != "network"
+            else "%d-template matched-filter bank" % len(thresholds))
     print(json.dumps({
-        "metric": "station-days scanned/sec/chip (10-event subspace, "
-                  "100Hz 3ch, incl. hist+triggers)",
+        "metric": "station-days scanned/sec/chip (%s, 100Hz 3ch, incl. "
+                  "hist+triggers)" % desc,
         "value": round(ours, 3),
         "unit": "station-days/s",
         "vs_baseline": round(ours / ref_rate, 2),
@@ -104,4 +121,5 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main(sys.argv[1] if len(sys.argv) > 1 else "subspace")

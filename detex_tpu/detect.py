@@ -36,7 +36,8 @@ class _SSDetex(object):
     def __init__(self, TRDF, utcStart, utcEnd, cfetcher, clusters, subspaceDB,
                  trigCon, triggerLTATime, triggerSTATime, multiprocess,
                  calcHist, dtype, estimateMags, classifyEvents, eventCorFile,
-                 utcSaves, fillZeros, issubspace=True):
+                 utcSaves, fillZeros, issubspace=True, batchSize=8):
+        self.batchSize = int(batchSize)
         self.utcStart = utcStart
         self.utcEnd = utcEnd
         self.filt = clusters.filt
@@ -178,6 +179,11 @@ class _SSDetex(object):
             datGen = self.fetcher.getConData(stakey, utcstart=self.utcStart,
                                              utcend=self.utcEnd,
                                              returnTimes=True)
+        use_batch = (self.batchSize > 1 and self.classifyEvents is None
+                     and self.utcSaves is None)
+        if use_batch:
+            return self._corDatBatched(threshold, sta, names, det, banks,
+                                       nc, datGen, histdic, tableName)
         for st, utc1, utc2 in datGen:
             if st is None or len(st) < 1:
                 detex_tpu.log(__name__, "could not get data on %s from %s to"
@@ -230,6 +236,106 @@ class _SSDetex(object):
                         _util.saveSQLite(DF, self.subspaceDB, tableName)
                         numdets += len(DF)
                         DF = pd.DataFrame()
+        if len(DF) > 0:
+            _util.saveSQLite(DF, self.subspaceDB, tableName)
+        detType = "Subspaces" if self.issubspace else "Singletons"
+        detex_tpu.log(__name__, "%s on %s completed, %d potential "
+                      "detection(s) recorded"
+                      % (detType, sta, len(DF) + numdets), pri=True)
+        return histdic if self.calcHist else None
+
+    def _corDatBatched(self, threshold, sta, names, det, banks, nc, datGen,
+                       histdic, tableName):
+        """
+        Batched scan path: chunks are filtered/multiplexed on host, stacked
+        ``batchSize`` at a time, and processed with the fused device scan
+        (DS + histogram + maxima on device); only triggered chunks pull a
+        full DS vector back for the exact-parity trigger/magnitude logic.
+        """
+        from detex_tpu.parallel import scan as _pscan
+        numdets = 0
+        DF = pd.DataFrame()
+        pending = []  # (MPcon, sr, tstamp)
+        thresholds_by_bank = [
+            np.asarray([threshold[nm] for nm in bank["names"]], np.float32)
+            for bank in banks]
+
+        def flush(batch):
+            nonlocal DF, numdets
+            if not batch:
+                return
+            B = len(batch)
+            for bank, th in zip(banks, thresholds_by_bank):
+                pad = bank["pad_len"]
+                X = np.zeros((B, pad), np.float32)
+                lens = []
+                for bi, (MPcon, sr, tstamp) in enumerate(batch):
+                    L = min(len(MPcon), pad)
+                    X[bi, :L] = MPcon[:L]
+                    lens.append(L)
+                with _prof.stage("detect.ds_scan_batched"):
+                    hist, maxds, tidx, tval, tcnt = _pscan.scan_chunks(
+                        X, bank, th, nc,
+                        buff_samps=1,  # device trigger list unused here
+                        bins=self.hist["Bins"] if self.calcHist else None,
+                        max_trig=1, valid_lens=lens)
+                hist = np.asarray(hist)
+                maxds = np.asarray(maxds)
+                for bi, (MPcon, sr, tstamp) in enumerate(batch):
+                    for si, name in enumerate(bank["names"]):
+                        if not maxds[bi, si] > threshold[name]:
+                            continue
+                        # exact-parity slow path for the triggered chunk
+                        dsvec = _ds.run_bank(MPcon, bank, nc)[si]
+                        if dsvec.max() > 1.1:
+                            dsvec = np.where(np.isfinite(dsvec), dsvec, 0.0)
+                        stalta_vec = None
+                        if not self.fillZeros and self.triggerLTATime:
+                            stalta_vec = np.asarray(_stalta.ds_stalta(
+                                dsvec, self.triggerLTATime * sr,
+                                self.triggerSTATime * sr))
+                        Sar = self._createCoeffArray(
+                            dsvec, stalta_vec, name, threshold, sta, det,
+                            MPcon, nc, sr, tstamp)
+                        if any(Sar.DS > 1.05):
+                            Sar = Sar[Sar.DS <= 1.05]
+                        if len(Sar) > 0:
+                            DF = pd.concat([DF, Sar], ignore_index=True)
+                if self.calcHist:
+                    for si, name in enumerate(bank["names"]):
+                        histdic[name] = histdic[name] + hist[si]
+            if len(DF) > 500:
+                _util.saveSQLite(DF, self.subspaceDB, tableName)
+                numdets += len(DF)
+                DF = pd.DataFrame()
+
+        for st, utc1, utc2 in datGen:
+            if st is None or len(st) < 1:
+                detex_tpu.log(__name__, "could not get data on %s from %s "
+                              "to %s" % (sta, utc1, utc2), level="warning",
+                              pri=True)
+                continue
+            try:
+                with _prof.stage("detect.filter"):
+                    conSt = _applyFilter(st, self.filt, self.decimate,
+                                         self.dtype,
+                                         fillZeros=self.fillZeros)
+            except Exception:
+                detex_tpu.log(__name__, "failed to filter chunk on %s"
+                              % sta, level="warning", pri=True)
+                continue
+            if len(conSt) < 1:
+                continue
+            sr = conSt[0].stats.sampling_rate
+            with _prof.stage("detect.multiplex"):
+                MPcon = multiplex(conSt, nc)
+            if len(MPcon) <= max(d["n"] for d in det.values()):
+                continue
+            pending.append((MPcon, sr, conSt[0].stats.starttime.timestamp))
+            if len(pending) >= self.batchSize:
+                flush(pending)
+                pending = []
+        flush(pending)
         if len(DF) > 0:
             _util.saveSQLite(DF, self.subspaceDB, tableName)
         detType = "Subspaces" if self.issubspace else "Singletons"

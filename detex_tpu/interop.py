@@ -504,3 +504,48 @@ def ANF2TemplateKey(anfdir, fileName="TemplateKey.csv", **kwargs):
     if fileName:
         df.to_csv(fileName, index=False)
     return df
+
+
+def readArc(arcfile):
+    """
+    Parse a hypoinverse archive ('arc') file into origin and phase
+    DataFrames (reference extras/arc.py behavior: event summary lines
+    followed by station phase lines, '$' shadow lines skipped).
+
+    Returns (events_df, phases_df).
+    """
+    events = []
+    phases = []
+    cur_event = None
+    for line in open(arcfile):
+        if not line.strip() or line.startswith("$"):
+            continue
+        # summary lines start with a 12+ digit date string
+        head = line[:14].replace(" ", "")
+        if len(line) > 45 and head[:8].isdigit() and len(head) >= 12:
+            try:
+                year, month, day = int(line[0:4]), int(line[4:6]), \
+                    int(line[6:8])
+                hour, minute = int(line[8:10]), int(line[10:12])
+                sec = float(line[12:16].replace(" ", "0")) / 100.0
+                lat = float(line[16:18]) + \
+                    float(line[19:23].replace(" ", "0")) / 100.0 / 60.0
+                lon = -(float(line[23:26]) +
+                        float(line[27:31].replace(" ", "0")) / 100.0 / 60.0)
+                dep = float(line[31:36].replace(" ", "0")) / 100.0
+                t = UTCDateTime(year, month, day, hour, minute, 0) + sec
+                cur_event = str(t).split(".")[0].replace(":", "-")
+                events.append(dict(NAME=cur_event, TIME=cur_event, LAT=lat,
+                                   LON=lon, DEPTH=dep, MAG=np.nan))
+                continue
+            except (ValueError, IndexError):
+                pass
+        # phase lines: 5-char station + 2-char net at fixed columns
+        if cur_event is not None and len(line) > 30 and line[0:5].strip():
+            sta = line[0:5].strip()
+            net = line[5:7].strip()
+            pha = line[14:15].strip() or "P"
+            phases.append(dict(Event=cur_event,
+                               Station="%s.%s" % (net, sta), Phase=pha,
+                               TimeStamp=np.nan))
+    return pd.DataFrame(events), pd.DataFrame(phases)

@@ -60,6 +60,12 @@ def ds_finalize(cc, a, power, sum_u, tile=DEFAULT_TILE, interpret=False):
     ds [S, L]
     """
     S, D, L = cc.shape
+    # cap the tile so all VMEM-resident blocks (cc in, ds out, a, power,
+    # sum_u + double buffering) stay well under the ~16 MB VMEM budget
+    rows = S * D + S + 2
+    budget = 6 * 1024 * 1024 // 4  # floats
+    fit = max(budget // max(rows, 1), LANE) // LANE * LANE
+    tile = min(tile, fit)
     # pad L to a lane/tile multiple
     T = min(tile, max(LANE, (L + LANE - 1) // LANE * LANE))
     Lp = (L + T - 1) // T * T

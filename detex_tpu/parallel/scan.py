@@ -60,10 +60,17 @@ def _ds_of(x, arrs, demux, n_c, nc, nfft):
     return _ds.ds_bank(x, arrs[0], arrs[1], arrs[2], n_c, nc, nfft)
 
 
-def _chunk_fn(x, arrs, thresholds, bins, demux, n_c, nc, nfft, buff_samps,
-              max_trig):
-    """Process one chunk: DS for the whole bank + hist + triggers."""
+def _chunk_fn(x, nv, arrs, thresholds, bins, demux, n_c, nc, nfft,
+              buff_samps, max_trig):
+    """Process one chunk: DS for the whole bank + hist + triggers.
+    ``nv`` is the number of valid DS samples (windows fully inside real
+    data — ragged chunks are zero-padded to the bank's pad_len and the pad
+    windows are masked out here)."""
     ds = _ds_of(x, arrs, demux, n_c, nc, nfft)                 # [S, out]
+    # mask pad windows to -inf: excluded from histogram bins, maxima and
+    # thresholds alike
+    pos = jnp.arange(ds.shape[-1])
+    ds = jnp.where(pos[None, :] < nv, ds, -jnp.inf)
     hist = jax.vmap(lambda v: _hist_counts(v, bins))(ds)       # [S, nbins]
     maxds = jnp.max(ds, axis=-1)                               # [S]
 
@@ -80,23 +87,36 @@ def _chunk_fn(x, arrs, thresholds, bins, demux, n_c, nc, nfft, buff_samps,
 
 @partial(jax.jit, static_argnames=("demux", "n_c", "nc", "nfft",
                                    "buff_samps", "max_trig"))
-def _scan_chunks_jit(X, arrs, thresholds, bins, demux, n_c, nc, nfft,
+def _scan_chunks_jit(X, NV, arrs, thresholds, bins, demux, n_c, nc, nfft,
                      buff_samps, max_trig):
-    f = lambda x: _chunk_fn(x, arrs, thresholds, bins, demux, n_c,  # noqa
-                            nc, nfft, buff_samps, max_trig)
+    f = lambda xn: _chunk_fn(xn[0], xn[1], arrs, thresholds, bins,  # noqa
+                             demux, n_c, nc, nfft, buff_samps, max_trig)
     # lax.map (not vmap): compiles the chunk body once — these are
     # million-sample chunks, so batching buys no fusion but multiplies the
     # program size (and remote compile time) by B
-    hist, maxds, tidx, tval, tcnt = jax.lax.map(f, X)
+    hist, maxds, tidx, tval, tcnt = jax.lax.map(f, (X, NV))
     return hist.sum(axis=0), maxds, tidx, tval, tcnt
 
 
-def scan_chunks(X, bank, thresholds, nc, buff_samps, bins=None, max_trig=64):
-    """Single-device batched scan: X [B, Lc] -> (hist, maxds, trig...)."""
+def _valid_lens(bank, nc, X, valid_lens):
+    if valid_lens is None:
+        return np.full(X.shape[0], X.shape[1], np.int32)
+    n = bank["n"]
+    return np.asarray([(int(v) - n) // nc + 1 for v in valid_lens],
+                      np.int32)
+
+
+def scan_chunks(X, bank, thresholds, nc, buff_samps, bins=None, max_trig=64,
+                valid_lens=None):
+    """Single-device batched scan: X [B, Lc] -> (hist, maxds, trig...).
+    ``valid_lens`` (optional, [B]) gives each chunk's true multiplexed
+    sample count when rows are zero-padded."""
     if bins is None:
         bins = DEFAULT_BINS
     st = _bank_statics(bank, nc)
-    return _scan_chunks_jit(jnp.asarray(X, jnp.float32), _bank_arrays(bank),
+    nv = _valid_lens(bank, nc, X, valid_lens)
+    return _scan_chunks_jit(jnp.asarray(X, jnp.float32), jnp.asarray(nv),
+                            _bank_arrays(bank),
                             jnp.asarray(thresholds, jnp.float32),
                             jnp.asarray(bins, jnp.float32), st["demux"],
                             st["n_c"], st["nc"], st["nfft"],
@@ -104,7 +124,8 @@ def scan_chunks(X, bank, thresholds, nc, buff_samps, bins=None, max_trig=64):
 
 
 def scan_chunks_sharded(mesh, X, bank, thresholds, nc, buff_samps,
-                        bins=None, max_trig=64, axis="chunks"):
+                        bins=None, max_trig=64, axis="chunks",
+                        valid_lens=None):
     """
     Multi-chip scan of chunk batch X [B, Lc] (B divisible by mesh size).
 
@@ -116,18 +137,19 @@ def scan_chunks_sharded(mesh, X, bank, thresholds, nc, buff_samps,
     st = _bank_statics(bank, nc)
     arrs = _bank_arrays(bank)
     demux, n_c, nfft = st["demux"], st["n_c"], st["nfft"]
+    nv = _valid_lens(bank, nc, X, valid_lens)
 
-    def shard_body(Xs, arrs, thresholds, bins):
-        f = lambda x: _chunk_fn(x, arrs, thresholds, bins, demux,   # noqa
-                                n_c, int(nc), nfft, int(buff_samps),
-                                int(max_trig))
-        hist, maxds, tidx, tval, tcnt = jax.lax.map(f, Xs)
+    def shard_body(Xs, NV, arrs, thresholds, bins):
+        f = lambda xn: _chunk_fn(xn[0], xn[1], arrs, thresholds,    # noqa
+                                 bins, demux, n_c, int(nc), nfft,
+                                 int(buff_samps), int(max_trig))
+        hist, maxds, tidx, tval, tcnt = jax.lax.map(f, (Xs, NV))
         hist = jax.lax.psum(hist.sum(axis=0), axis)
         return hist, maxds, tidx, tval, tcnt
 
     fn = shard_map(shard_body, mesh=mesh,
-                   in_specs=(P(axis), P(), P(), P()),
+                   in_specs=(P(axis), P(axis), P(), P(), P()),
                    out_specs=(P(), P(axis), P(axis), P(axis), P(axis)))
-    return jax.jit(fn)(jnp.asarray(X, jnp.float32), arrs,
+    return jax.jit(fn)(jnp.asarray(X, jnp.float32), jnp.asarray(nv), arrs,
                        jnp.asarray(thresholds, jnp.float32),
                        jnp.asarray(bins, jnp.float32))

@@ -822,11 +822,13 @@ class SubSpace(object):
               multiprocess=False, delOldCorrs=True, calcHist=True,
               useSubSpaces=True, useSingles=False, estimateMags=True,
               classifyEvents=None, eventCorFile="EventCors", utcSaves=None,
-              fillZeros=False):
+              fillZeros=False, batchSize=8):
         """
         Run subspace detection over continuous data; detections land in the
         SQLite database ``subspaceDB`` with the reference schema
-        (reference subspace.py:1745-1902).
+        (reference subspace.py:1745-1902). ``batchSize`` chunks are scanned
+        per device call (histograms/maxima stay on device); 1 reverts to
+        the per-chunk path (always used for classifyEvents/utcSaves modes).
         """
         from detex_tpu.detect import _SSDetex
         if trigCon != 0:
@@ -850,7 +852,8 @@ class SubSpace(object):
                            self.clusters, subspaceDB, trigCon,
                            triggerLTATime, triggerSTATime, multiprocess,
                            calcHist, self.dtype, estimateMags,
-                           classifyEvents, eventCorFile, utcSaves, fillZeros)
+                           classifyEvents, eventCorFile, utcSaves, fillZeros,
+                           batchSize=batchSize)
             self.histSubSpaces = Det.hist
         if useSingles:
             self.setSinglesThresholds()
@@ -860,7 +863,7 @@ class SubSpace(object):
                            triggerLTATime, triggerSTATime, multiprocess,
                            calcHist, self.dtype, estimateMags,
                            classifyEvents, eventCorFile, utcSaves, fillZeros,
-                           issubspace=False)
+                           issubspace=False, batchSize=batchSize)
             self.histSingles = Det.hist
         if useSubSpaces or useSingles:
             cols = ["FREQMIN", "FREQMAX", "CORNERS", "ZEROPHASE"]
