@@ -28,11 +28,45 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
+def bench_cluster():
+    """
+    The reference's one published wall-time: createCluster over ~220
+    events, 2 stations, 100 Hz, trim=[10,120] took 156 s on the author's
+    desktop (BASELINE.md rows 1-2). This measures the equivalent compute —
+    two stations' all-pairs CC/lag/subsample matrices (2 x 24,090 pairs of
+    39,000-sample multiplexed traces) — on one chip.
+    """
+    import time
+    import jax
+    from detex_tpu.ops import xcorr
+
+    N, L = 220, 39000  # 220 events, 130 s at 100 Hz x 3 channels
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((N, L)).astype(np.float32)
+    # warmup (compile)
+    xcorr.xcorr_all_pairs(X[:3], 3)
+    t0 = time.perf_counter()
+    for _ in range(2):  # 2 stations
+        cc, lag, sub = xcorr.xcorr_all_pairs(X, 3)
+    dt = time.perf_counter() - t0
+    ref = 156.0  # seconds (clustering.md:771-777, 1413-1417)
+    print(json.dumps({
+        "metric": "createCluster compute (220 events x 2 stations, "
+                  "all-pairs CC) wall seconds",
+        "value": round(dt, 2),
+        "unit": "s",
+        "vs_baseline": round(ref / dt, 1),
+    }))
+
+
 def main(mode="subspace"):
     import jax
     import jax.numpy as jnp
     from detex_tpu.ops import ds as dsops
     from detex_tpu.parallel import scan as pscan
+
+    if mode == "cluster":
+        return bench_cluster()
 
     nc = 3
     sr = 100.0

@@ -74,6 +74,33 @@ def _pairs_batch(Fi, Fj, a_j, b_j, sums_i, stds_i, n, nc, nfft):
     return jax.vmap(fn)(Fi, Fj, a_j, b_j, sums_i, stds_i)
 
 
+@partial(jax.jit, static_argnames=("n", "nc", "nfft"))
+def _all_pairs_fused(X, II, JJ, n, nc, nfft):
+    """
+    All pair batches in ONE device program: per-event precomputations,
+    then a lax.map over pair batches with the gathers inside the program
+    (a single dispatch — the remote-TPU tunnel makes per-batch host round
+    trips the dominant cost otherwise).
+
+    X: [N, n] events; II/JJ: [nb, bsz] pair indices (padded).
+    Returns (cc [nb, bsz], lag [nb, bsz], subsamp [nb, bsz]).
+    """
+    F = jnp.fft.rfft(X, nfft, axis=-1)
+    sums = jnp.sum(X, axis=-1)
+    stds = jnp.std(X, axis=-1)
+    padded = jnp.pad(X, ((0, 0), (n - 1, n - 1)))
+    a = jax.vmap(lambda x: rolling_mean(x, n))(padded)
+    b = jax.vmap(lambda x: rolling_std(x, n))(padded)
+
+    def one_batch(idx):
+        ii, jj = idx
+        fn = lambda i, j: _pair_cc_one(  # noqa: E731
+            F[i], F[j], a[j], b[j], sums[i], stds[i], n, nc, nfft)
+        return jax.vmap(fn)(ii, jj)
+
+    return jax.lax.map(one_batch, (II, JJ))
+
+
 def xcorr_all_pairs(X, nc, nfft=None, pair_batch=2048, dtype=jnp.float32):
     """
     All-pairs normalized xcorr of multiplexed event waveforms.
@@ -98,34 +125,27 @@ def xcorr_all_pairs(X, nc, nfft=None, pair_batch=2048, dtype=jnp.float32):
     N, n = X.shape
     if nfft is None:
         nfft = fft_len_for(n)
-    Xd = jnp.asarray(X, dtype=dtype)
-    # per-event precomputations (batched on device)
-    F = jnp.fft.rfft(Xd, int(nfft), axis=-1)
-    sums = jnp.sum(Xd, axis=-1)
-    stds = jnp.std(Xd, axis=-1)
-    padded = jnp.pad(Xd, ((0, 0), (n - 1, n - 1)))
-    a = jax.vmap(lambda x: rolling_mean(x, n))(padded)
-    b = jax.vmap(lambda x: rolling_std(x, n))(padded)
-
     iu, ju = np.triu_indices(N, k=1)
+    P = len(iu)
     cc = np.full((N, N), np.nan)
     lag = np.zeros((N, N))
     sub = np.full((N, N), np.nan)
-    P = len(iu)
-    bsz = min(pair_batch, P) if P else 0
-    for s in range(0, P, max(bsz, 1)):
-        ii0 = iu[s:s + bsz]
-        jj0 = ju[s:s + bsz]
-        k = len(ii0)
-        ii, jj = ii0, jj0
-        if k < bsz:  # pad final batch to constant size (avoid recompiles)
-            ii = np.concatenate([ii, np.zeros(bsz - k, int)])
-            jj = np.concatenate([jj, np.ones(bsz - k, int)])
-        mx, lg, sb = _pairs_batch(F[ii], F[jj], a[jj], b[jj], sums[ii],
-                                  stds[ii], int(n), int(nc), int(nfft))
-        cc[ii0, jj0] = np.asarray(mx)[:k]
-        lag[ii0, jj0] = np.asarray(lg)[:k]
-        sub[ii0, jj0] = np.asarray(sb)[:k]
+    if P == 0:
+        return cc, lag, sub
+    bsz = min(pair_batch, P)
+    nb = (P + bsz - 1) // bsz
+    # pad the final batch (index (0, 1) repeats; results discarded)
+    II = np.zeros(nb * bsz, dtype=np.int32)
+    JJ = np.ones(nb * bsz, dtype=np.int32)
+    II[:P] = iu
+    JJ[:P] = ju
+    mx, lg, sb = _all_pairs_fused(jnp.asarray(X, dtype),
+                                  jnp.asarray(II.reshape(nb, bsz)),
+                                  jnp.asarray(JJ.reshape(nb, bsz)),
+                                  int(n), int(nc), int(nfft))
+    cc[iu, ju] = np.asarray(mx).ravel()[:P]
+    lag[iu, ju] = np.asarray(lg).ravel()[:P]
+    sub[iu, ju] = np.asarray(sb).ravel()[:P]
     return cc, lag, sub
 
 
