@@ -36,8 +36,20 @@ class _SSDetex(object):
     def __init__(self, TRDF, utcStart, utcEnd, cfetcher, clusters, subspaceDB,
                  trigCon, triggerLTATime, triggerSTATime, multiprocess,
                  calcHist, dtype, estimateMags, classifyEvents, eventCorFile,
-                 utcSaves, fillZeros, issubspace=True, batchSize=8):
+                 utcSaves, fillZeros, issubspace=True, batchSize=8,
+                 devicePrep=False):
         self.batchSize = int(batchSize)
+        self.devicePrep = bool(devicePrep)
+        if devicePrep and clusters.decimate:
+            detex_tpu.log(__name__, "devicePrep does not support decimate; "
+                          "set decimate=None or devicePrep=False",
+                          level="error")
+        if self.devicePrep and (classifyEvents is not None or
+                                utcSaves is not None or batchSize <= 1):
+            detex_tpu.log(__name__, "devicePrep requires the batched scan "
+                          "path; falling back to host preprocessing",
+                          level="warning", pri=True)
+            self.devicePrep = False
         self.utcStart = utcStart
         self.utcEnd = utcEnd
         self.filt = clusters.filt
@@ -157,6 +169,22 @@ class _SSDetex(object):
             bank = _ds.build_bank([det[nm]["U"] for nm in names], Nc,
                                   pad_len)
             bank["names"] = names
+            if self.devicePrep:
+                if not bank.get("demux"):
+                    detex_tpu.log(__name__, "devicePrep requires template "
+                                  "lengths divisible by the channel count; "
+                                  "falling back to host prep",
+                                  level="warning", pri=True)
+                    self.devicePrep = False
+                elif self.filt is not None:
+                    from detex_tpu.ops import prep as _prep
+                    bank["H"] = _prep.butter_response(
+                        self.filt, samplingRate, bank["nfft2"],
+                        zerophase=bool(self.filt[3]))
+                else:
+                    import jax.numpy as jnp
+                    bank["H"] = jnp.ones(bank["nfft2"] // 2 + 1,
+                                         jnp.float32)
             banks.append(bank)
         return det, banks
 
@@ -267,24 +295,50 @@ class _SSDetex(object):
             B = len(batch)
             for bank, th in zip(banks, thresholds_by_bank):
                 pad = bank["pad_len"]
-                X = np.zeros((B, pad), np.float32)
-                lens = []
-                for bi, (MPcon, sr, tstamp) in enumerate(batch):
-                    L = min(len(MPcon), pad)
-                    X[bi, :L] = MPcon[:L]
-                    lens.append(L)
-                with _prof.stage("detect.ds_scan_batched"):
-                    hist, maxds, tidx, tval, tcnt = _pscan.scan_chunks(
-                        X, bank, th, nc,
-                        buff_samps=1,  # device trigger list unused here
-                        bins=self.hist["Bins"] if self.calcHist else None,
-                        max_trig=1, valid_lens=lens)
+                bins = self.hist["Bins"] if self.calcHist else None
+                if self.devicePrep:
+                    Lp = pad // nc
+                    Xc = np.zeros((B, nc, Lp), np.float32)
+                    lens = []
+                    for bi, (payload, sr, tstamp) in enumerate(batch):
+                        ch = payload["chans"]
+                        L = min(ch.shape[1], Lp)
+                        Xc[bi, :, :L] = ch[:, :L]
+                        lens.append(L)
+                    with _prof.stage("detect.ds_scan_batched"):
+                        hist, maxds, *_ = _pscan.scan_chunks_raw(
+                            Xc, lens, bank["H"], bank, th, nc,
+                            buff_samps=1, bins=bins, max_trig=1)
+                else:
+                    X = np.zeros((B, pad), np.float32)
+                    lens = []
+                    for bi, (payload, sr, tstamp) in enumerate(batch):
+                        MPcon = payload
+                        L = min(len(MPcon), pad)
+                        X[bi, :L] = MPcon[:L]
+                        lens.append(L)
+                    with _prof.stage("detect.ds_scan_batched"):
+                        hist, maxds, *_ = _pscan.scan_chunks(
+                            X, bank, th, nc,
+                            buff_samps=1,  # device trigger list unused
+                            bins=bins, max_trig=1, valid_lens=lens)
                 hist = np.asarray(hist)
                 maxds = np.asarray(maxds)
-                for bi, (MPcon, sr, tstamp) in enumerate(batch):
+                for bi, (payload, sr, tstamp) in enumerate(batch):
+                    MPcon = None
                     for si, name in enumerate(bank["names"]):
                         if not maxds[bi, si] > threshold[name]:
                             continue
+                        if MPcon is None:
+                            if self.devicePrep:
+                                # exact-parity host filter, triggered only
+                                stf = _applyFilter(
+                                    payload["st"].copy(), self.filt,
+                                    self.decimate, self.dtype,
+                                    fillZeros=self.fillZeros)
+                                MPcon = multiplex(stf, nc)
+                            else:
+                                MPcon = payload
                         # exact-parity slow path for the triggered chunk
                         dsvec = _ds.run_bank(MPcon, bank, nc)[si]
                         if dsvec.max() > 1.1:
@@ -309,6 +363,7 @@ class _SSDetex(object):
                 numdets += len(DF)
                 DF = pd.DataFrame()
 
+        nmax = max(d["n"] for d in det.values())
         for st, utc1, utc2 in datGen:
             if st is None or len(st) < 1:
                 detex_tpu.log(__name__, "could not get data on %s from %s "
@@ -317,7 +372,10 @@ class _SSDetex(object):
                 continue
             try:
                 with _prof.stage("detect.filter"):
-                    conSt = _applyFilter(st, self.filt, self.decimate,
+                    # devicePrep: merge/trim only on host; detrend+bandpass
+                    # run fused on device
+                    filt = None if self.devicePrep else self.filt
+                    conSt = _applyFilter(st, filt, self.decimate,
                                          self.dtype,
                                          fillZeros=self.fillZeros)
             except Exception:
@@ -327,11 +385,21 @@ class _SSDetex(object):
             if len(conSt) < 1:
                 continue
             sr = conSt[0].stats.sampling_rate
-            with _prof.stage("detect.multiplex"):
-                MPcon = multiplex(conSt, nc)
-            if len(MPcon) <= max(d["n"] for d in det.values()):
-                continue
-            pending.append((MPcon, sr, conSt[0].stats.starttime.timestamp))
+            tstamp = conSt[0].stats.starttime.timestamp
+            if self.devicePrep:
+                conSt.sort()
+                L = min(len(tr.data) for tr in conSt)
+                if L * nc <= nmax:
+                    continue
+                chans = np.stack([np.asarray(tr.data[:L], np.float32)
+                                  for tr in conSt])
+                pending.append((dict(chans=chans, st=conSt), sr, tstamp))
+            else:
+                with _prof.stage("detect.multiplex"):
+                    MPcon = multiplex(conSt, nc)
+                if len(MPcon) <= nmax:
+                    continue
+                pending.append((MPcon, sr, tstamp))
             if len(pending) >= self.batchSize:
                 flush(pending)
                 pending = []

@@ -1,0 +1,137 @@
+"""
+On-device chunk preprocessing fused into the DS scan.
+
+The reference preprocesses every continuous chunk on host (obspy bandpass +
+detrend + multiplex, construct.py:990-1030) before the detection statistic.
+On this class of hardware the host prep (~35 ms/chunk single-core) costs
+~200x the device scan (~0.2 ms/chunk), so detex_tpu can instead do it
+on device, inside the FFTs the scan already performs:
+
+  - linear detrend: closed-form masked least squares per channel
+  - zero-phase Butterworth bandpass: multiply the channel spectra by
+    |H(e^jw)|^2 (the exact amplitude response of obspy's forward+reverse
+    SOS pass); the only difference from the host path is circular (vs
+    linear) edge transients, which die inside the chunk overlap buffer
+  - standardization for f32 accuracy is applied algebraically to the
+    spectra (the DS is affine-invariant), so only 3 extra irFFTs are paid
+
+Enabled with ``SubSpace.detex(devicePrep=True)`` (requires decimate=None).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import signal as _sig
+
+from detex_tpu.ops.rolling import rolling_mean
+
+
+def butter_response(filt, sr, nfft, zerophase=True):
+    """
+    Complex frequency response (length nfft//2+1) of the obspy-style
+    Butterworth bandpass at the rfft bins of ``nfft``; zerophase squares
+    the magnitude and cancels the phase (|H|^2), matching a forward+reverse
+    pass.
+    """
+    freqmin, freqmax, corners = filt[0], filt[1], int(filt[2])
+    nyq = 0.5 * sr
+    low = freqmin / nyq
+    high = min(freqmax / nyq, 1.0 - 1e-6)
+    sos = _sig.iirfilter(corners, [low, high], btype="band", ftype="butter",
+                         output="sos")
+    w, h = _sig.sosfreqz(sos, worN=nfft // 2 + 1, whole=False)
+    if zerophase:
+        h = (h * np.conj(h)).real.astype(np.float32)  # |H|^2, zero phase
+        return jnp.asarray(h, jnp.float32)
+    return jnp.asarray(h.astype(np.complex64))
+
+
+def _masked_detrend(xc, Lv):
+    """Per-channel linear detrend fit on the first Lv samples (the valid
+    region of a zero-padded channel), applied everywhere."""
+    nc, L = xc.shape
+    i = jnp.arange(L, dtype=jnp.float32)
+    w = (i < Lv).astype(jnp.float32)
+    nn = jnp.sum(w)
+    st = jnp.sum(w * i)
+    stt = jnp.sum(w * i * i)
+    sy = jnp.sum(xc * w[None, :], axis=1)
+    sty = jnp.sum(xc * (w * i)[None, :], axis=1)
+    det = nn * stt - st * st
+    b = (nn * sty - st * sy) / det
+    a = (sy - b * st) / nn
+    fit = a[:, None] + b[:, None] * i[None, :]
+    return (xc - fit) * w[None, :]
+
+
+@partial(jax.jit, static_argnames=("n_c", "nc", "nfft2"))
+def ds_bank_demux_raw(xc, Lv, H, Ufd2, sum_u, d_mask, n_c, nc, nfft2):
+    """
+    DS of one chunk from RAW per-channel data with fused preprocessing.
+
+    xc: [nc, L_c] raw channels zero-padded to the bank's per-channel pad
+    length; Lv: scalar true per-channel sample count; H: rfft-bin filter
+    response (real for zerophase); bank arrays as in ds_bank_demux.
+    Returns [S, L_c - n_c + 1] (caller masks windows beyond Lv).
+    """
+    L_c = xc.shape[1]
+    n = n_c * nc
+    xd = _masked_detrend(xc, Lv)
+    F = jnp.fft.rfft(xd, nfft2, axis=-1)              # [nc, R2]
+    Ff = F * H[None, :]
+    xf = jnp.fft.irfft(Ff, nfft2, axis=-1)[:, :L_c]   # filtered channels
+    # standardization statistics over the valid region only
+    i = jnp.arange(L_c)
+    w = (i < Lv).astype(xf.dtype)[None, :]
+    cnt = jnp.sum(w) * nc
+    mu = jnp.sum(xf * w) / cnt
+    var = jnp.sum((xf - mu) ** 2 * w) / cnt
+    sd = jnp.sqrt(jnp.maximum(var, 1e-30))
+    xs = ((xf - mu) / sd) * w                         # standardized, pad=0
+
+    s1 = jax.vmap(lambda v: rolling_mean(v, n_c))(xs).sum(0) * n_c
+    s2 = jax.vmap(lambda v: rolling_mean(v * v, n_c))(xs).sum(0) * n_c
+    a = s1 / n
+    var_samp = (s2 - s1 * s1 / n) / (n - 1.0)
+    power = jnp.maximum(var_samp, 0.0) * n
+
+    # correlation spectra from the UNstandardized filtered spectra, fixed
+    # up algebraically: cc_std = (cc_raw - mu * sum_u) / sd
+    spec = jnp.einsum("sdcr,cr->sdr", Ufd2, Ff)       # [S, Dmax, R2]
+    cc = jnp.fft.irfft(spec, nfft2, axis=-1)[:, :, n_c - 1:L_c]
+    su = jnp.where(d_mask, sum_u, 0.0)
+    cc = (cc - mu * su[:, :, None]) / sd
+    from detex_tpu.ops.ds import _use_pallas
+    powsafe = jnp.where(power == 0, jnp.inf, power)
+    if _use_pallas():
+        from detex_tpu.ops.pallas_kernels import ds_finalize
+        return ds_finalize(cc, a, powsafe, su)
+    y = cc - su[:, :, None] * a[None, None, :]
+    num = jnp.sum(y * y, axis=1)
+    return num / powsafe[None, :]
+
+
+def run_bank_raw(chans, bank, nc, H):
+    """
+    Host wrapper: raw channel stack [nc, L] -> DS [S, n_valid] through the
+    fused device prep + scan (counterpart of ds.run_bank for the
+    devicePrep path).
+    """
+    chans = np.asarray(chans, np.float32)
+    L = chans.shape[1]
+    L_pad = bank["pad_len"] // nc
+    if L > L_pad:
+        chans = chans[:, :L_pad]
+        L = L_pad
+    xp = np.zeros((nc, L_pad), np.float32)
+    xp[:, :L] = chans
+    out = ds_bank_demux_raw(jnp.asarray(xp), jnp.int32(L),
+                            H, bank["Ufd2"], bank["sum_u"], bank["d_mask"],
+                            bank["n_c"], int(nc), bank["nfft2"])
+    n_valid = (L * nc - bank["n"]) // nc + 1
+    if n_valid <= 0:
+        return np.zeros((out.shape[0], 0), np.float32)
+    return np.asarray(out[:, :n_valid])

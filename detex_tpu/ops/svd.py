@@ -4,7 +4,6 @@ On-device SVD and fractional-energy-capture helpers
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -123,6 +123,58 @@ def scan_chunks(X, bank, thresholds, nc, buff_samps, bins=None, max_trig=64,
                             int(buff_samps), int(max_trig))
 
 
+def _chunk_fn_raw(xc, Lv, H, arrs, thresholds, bins, n_c, nc, nfft,
+                  buff_samps, max_trig):
+    """Raw-channel variant of _chunk_fn with fused device preprocessing."""
+    from detex_tpu.ops.prep import ds_bank_demux_raw
+    ds = ds_bank_demux_raw(xc, Lv, H, arrs[0], arrs[1], arrs[2], n_c, nc,
+                           nfft)
+    nv = (Lv * nc - n_c * nc) // nc + 1
+    pos = jnp.arange(ds.shape[-1])
+    ds = jnp.where(pos[None, :] < nv, ds, -jnp.inf)
+    hist = jax.vmap(lambda v: _hist_counts(v, bins))(ds)
+    maxds = jnp.max(ds, axis=-1)
+
+    def trig_one(v, th):
+        idx, cnt = _triggers.extract_triggers_topk(v, th, buff_samps,
+                                                   max_triggers=max_trig)
+        vals = jnp.where(idx >= 0, v[jnp.clip(idx, 0, v.shape[0] - 1)],
+                         jnp.nan)
+        return idx, vals, cnt
+
+    tidx, tval, tcnt = jax.vmap(trig_one)(ds, thresholds)
+    return hist, maxds, tidx, tval, tcnt
+
+
+@partial(jax.jit, static_argnames=("n_c", "nc", "nfft", "buff_samps",
+                                   "max_trig"))
+def _scan_chunks_raw_jit(Xc, LV, H, arrs, thresholds, bins, n_c, nc, nfft,
+                         buff_samps, max_trig):
+    f = lambda xn: _chunk_fn_raw(xn[0], xn[1], H, arrs, thresholds,  # noqa
+                                 bins, n_c, nc, nfft, buff_samps, max_trig)
+    hist, maxds, tidx, tval, tcnt = jax.lax.map(f, (Xc, LV))
+    return hist.sum(axis=0), maxds, tidx, tval, tcnt
+
+
+def scan_chunks_raw(Xc, lens, H, bank, thresholds, nc, buff_samps,
+                    bins=None, max_trig=64):
+    """
+    Batched scan from RAW channels with fused device preprocessing
+    (detrend + spectral bandpass): Xc [B, nc, L_c] zero-padded channels,
+    lens [B] true per-channel sample counts.
+    """
+    if bins is None:
+        bins = DEFAULT_BINS
+    if not bank.get("demux"):
+        raise ValueError("scan_chunks_raw requires a demuxed bank")
+    arrs = _bank_arrays(bank)
+    return _scan_chunks_raw_jit(
+        jnp.asarray(Xc, jnp.float32), jnp.asarray(lens, jnp.int32), H,
+        arrs, jnp.asarray(thresholds, jnp.float32),
+        jnp.asarray(bins, jnp.float32), bank["n_c"], int(nc),
+        bank["nfft2"], int(buff_samps), int(max_trig))
+
+
 def scan_chunks_sharded(mesh, X, bank, thresholds, nc, buff_samps,
                         bins=None, max_trig=64, axis="chunks",
                         valid_lens=None):

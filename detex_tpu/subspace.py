@@ -822,13 +822,17 @@ class SubSpace(object):
               multiprocess=False, delOldCorrs=True, calcHist=True,
               useSubSpaces=True, useSingles=False, estimateMags=True,
               classifyEvents=None, eventCorFile="EventCors", utcSaves=None,
-              fillZeros=False, batchSize=8):
+              fillZeros=False, batchSize=8, devicePrep=False):
         """
         Run subspace detection over continuous data; detections land in the
         SQLite database ``subspaceDB`` with the reference schema
         (reference subspace.py:1745-1902). ``batchSize`` chunks are scanned
         per device call (histograms/maxima stay on device); 1 reverts to
         the per-chunk path (always used for classifyEvents/utcSaves modes).
+        ``devicePrep=True`` fuses detrend + zero-phase bandpass into the
+        device scan (see detex_tpu.ops.prep), removing the host filter from
+        the hot path; triggered chunks are re-verified through the exact
+        host-filtered path.
         """
         from detex_tpu.detect import _SSDetex
         if trigCon != 0:
@@ -853,7 +857,7 @@ class SubSpace(object):
                            triggerLTATime, triggerSTATime, multiprocess,
                            calcHist, self.dtype, estimateMags,
                            classifyEvents, eventCorFile, utcSaves, fillZeros,
-                           batchSize=batchSize)
+                           batchSize=batchSize, devicePrep=devicePrep)
             self.histSubSpaces = Det.hist
         if useSingles:
             self.setSinglesThresholds()
@@ -863,7 +867,8 @@ class SubSpace(object):
                            triggerLTATime, triggerSTATime, multiprocess,
                            calcHist, self.dtype, estimateMags,
                            classifyEvents, eventCorFile, utcSaves, fillZeros,
-                           issubspace=False, batchSize=batchSize)
+                           issubspace=False, batchSize=batchSize,
+                           devicePrep=devicePrep)
             self.histSingles = Det.hist
         if useSubSpaces or useSingles:
             cols = ["FREQMIN", "FREQMAX", "CORNERS", "ZEROPHASE"]

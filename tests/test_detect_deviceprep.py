@@ -1,0 +1,46 @@
+"""End-to-end detection with fused device preprocessing must find the same
+events as the host-prep path."""
+import os
+
+import pytest
+
+from detex_tpu import construct, util
+from detex_tpu.data import fetcher as getdata
+
+
+@pytest.fixture(scope="module")
+def ss(synth_case, tmp_path_factory):
+    wd = tmp_path_factory.mktemp("dp")
+    os.chdir(wd)
+    clust = construct.createCluster(
+        CCreq=0.5, fetch_arg=synth_case["eventDir"], filt=[1, 8, 2, True],
+        stationKey=synth_case["stationKey"],
+        templateKey=synth_case["templateKey"], trim=[10, 60],
+        fileName=str(wd / "c.pkl"), saveclust=False)
+    cfetch = getdata.DataFetcher("dir", directoryName=synth_case["conDir"])
+    s = construct.createSubSpace(Pf=1e-9, clust=clust,
+                                 conDatFetcher=cfetch)
+    s.attachPickTimes(pksFile=synth_case["phaseKey"], defaultDuration=20)
+    s.SVD(threshold=0.4, useSingles=False)
+    return s, wd
+
+
+def test_deviceprep_matches_host_detections(ss):
+    s, wd = ss
+    db_host = str(wd / "host.db")
+    db_dev = str(wd / "dev.db")
+    s.detex(subspaceDB=db_host, estimateMags=False)
+    s.detex(subspaceDB=db_dev, estimateMags=False, devicePrep=True)
+    host = util.loadSQLite(db_host, "ss_df")
+    dev = util.loadSQLite(db_dev, "ss_df")
+    assert host is not None and dev is not None
+    # same detections: one row per event within a sample of each other
+    assert len(host) == len(dev)
+    host = host.sort_values("STMP").reset_index(drop=True)
+    dev = dev.sort_values("STMP").reset_index(drop=True)
+    assert (abs(host.STMP - dev.STMP) < 0.2).all()
+    assert (abs(host.DS - dev.DS) < 1e-3).all()
+    # histograms agree closely (device prep differs only at chunk edges)
+    hh = util.loadSQLite(db_host, "ss_hist")
+    dh = util.loadSQLite(db_dev, "ss_hist")
+    assert hh is not None and dh is not None
