@@ -478,6 +478,8 @@ def _getInfoFromClust(cl, srow):
     sta = srow.Station
     cll = cl.trdf[cl.trdf.Station == sta].iloc[0]
     full_events = list(cll.Events)
+    # both lists are sorted, so cluster positions are increasing and the
+    # (i < j) orientation of the full matrices is preserved
     pos = [full_events.index(ev) for ev in srow.Events]
     m = len(pos)
     cc = np.full((m, m), np.nan)
@@ -487,11 +489,8 @@ def _getInfoFromClust(cl, srow):
                                          fill=0.0))
     for i in range(m):
         for j in range(i + 1, m):
-            a, b = pos[i], pos[j]
-            if a > b:
-                a, b = b, a
-            cc[i, j] = ccfull[a, b]
-            lag[i, j] = lagfull[a, b] if pos[i] < pos[j] else -lagfull[a, b]
+            cc[i, j] = ccfull[pos[i], pos[j]]
+            lag[i, j] = lagfull[pos[i], pos[j]]
     return cc, lag
 
 

@@ -152,10 +152,9 @@ class _SSDetex(object):
                 WFs = np.array([upr])
             UtU = U.T @ U
             dlen = U.shape[1]
-            reqlen = int(dataLength * samplingRate * Nc + dlen)
             mags = np.array([row.Stats[x]["magnitude"] for x in events])
             det[row.Name] = dict(
-                U=U, WFs=WFs, UtU=UtU, n=dlen, reqlen=reqlen, mags=mags,
+                U=U, WFs=WFs, UtU=UtU, n=dlen, mags=mags,
                 events=events, offsets=row.Offsets,
                 WFU=np.dot(WFs, UtU))
         # group by template length into banks (demuxed fast path when the

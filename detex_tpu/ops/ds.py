@@ -35,8 +35,6 @@ import numpy as np
 
 from detex_tpu.ops.rolling import rolling_mean
 
-DEFAULT_MAX_DS_LEN = None
-
 
 def _use_pallas():
     """Use the fused Pallas finalize on real TPU backends (override with
