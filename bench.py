@@ -92,7 +92,7 @@ def main(mode="subspace"):
         U = np.ascontiguousarray(q[:, :D].T)
         bank = dsops.build_bank([U], nc, Lc)  # demuxed fast path
         thresholds = np.full(1, 0.99, np.float32)
-        B = 8  # chunks per device call
+        B = 16  # chunks per device call
     # distinct inputs per iteration + a dependency chain between steps:
     # this backend can elide duplicate launches, so timing must force real,
     # ordered execution of every step.

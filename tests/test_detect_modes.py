@@ -79,6 +79,32 @@ def test_profiling_hooks(small_ss):
     assert (rep.total_s >= 0).all()
 
 
+def test_fas_stalta_fallback(small_ss):
+    """An impossible STA/LTA limit rejects every chunk; FAS must drop the
+    veto (reference fas.py:64-71) and still fit the null."""
+    ss, wd = small_ss
+    ss.getFAS(conDatNum=3, staltalimit=1e-9, recalc=True)
+    for sta in ss.ssStations:
+        for _, row in ss.subspaces[sta].iterrows():
+            assert isinstance(row.FAS, dict)
+            b = row.FAS["betadist"]
+            assert 0 < b[0] and 0 < b[1]
+            assert row.FAS["hist"].sum() > 0
+
+
+def test_fas_reverse_templates(small_ss):
+    """Reverse-template null (Slinkard 2014) produces a comparable null
+    distribution."""
+    from detex_tpu import fas as _fas
+    ss, wd = small_ss
+    sta = ss.ssStations[0]
+    res = _fas._initFAS(ss.subspaces[sta], 3, ss.clusters, ss.cfetcher,
+                        staltalimit=None, reverseTemplates=True)
+    assert len(res) == len(ss.subspaces[sta])
+    for r in res:
+        assert "betadist" in r and r["hist"].sum() > 0
+
+
 def test_detection_with_fillzeros(small_ss, synth_case):
     """fillZeros mode runs without STA/LTA and still detects."""
     ss, wd = small_ss
