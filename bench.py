@@ -43,11 +43,12 @@ def bench_cluster():
     N, L = 220, 39000  # 220 events, 130 s at 100 Hz x 3 channels
     rng = np.random.default_rng(0)
     X = rng.standard_normal((N, L)).astype(np.float32)
-    # warmup (compile)
-    xcorr.xcorr_all_pairs(X[:3], 3)
+    # warmup at full shape (compile)
+    xcorr.xcorr_all_pairs(X, 3)
     t0 = time.perf_counter()
-    for _ in range(2):  # 2 stations
-        cc, lag, sub = xcorr.xcorr_all_pairs(X, 3)
+    for s in range(2):  # 2 stations (distinct data)
+        Xs = rng.standard_normal((N, L)).astype(np.float32)
+        cc, lag, sub = xcorr.xcorr_all_pairs(Xs, 3)
     dt = time.perf_counter() - t0
     ref = 156.0  # seconds (clustering.md:771-777, 1413-1417)
     print(json.dumps({

@@ -74,6 +74,70 @@ def _pairs_batch(Fi, Fj, a_j, b_j, sums_i, stds_i, n, nc, nfft):
     return jax.vmap(fn)(Fi, Fj, a_j, b_j, sums_i, stds_i)
 
 
+def _pair_cc_strided(c1s, a_j, b_j, sum_i, std_i, n, nc):
+    """
+    Shared tail of the pair kernel operating directly in the strided
+    (channel-aligned lag) domain: c1s [2*n_c-1] = the [Nc-1::Nc] stride of
+    the full multiplexed correlation; a_j/b_j rolling stats at those
+    offsets. Returns (maxcc, lag, subsamp).
+    """
+    trunc = n // (2 * nc) - 1
+    denom = n * b_j * std_i
+    result = (c1s - sum_i * a_j) / jnp.where(denom == 0, jnp.nan, denom)
+    if trunc > 0:
+        result = result[trunc:-trunc]
+    bad = (result > 1.0) | (result < -1.0)
+    result = jnp.where(bad, 0.0, result)
+    allnan = jnp.all(jnp.isnan(result))
+    safe = jnp.where(jnp.isnan(result), -jnp.inf, result)
+    maxind = jnp.argmax(safe)
+    maxcc = jnp.where(allnan, 0.0, safe[maxind])
+    lag = (maxind + 1 + trunc) * nc - n
+    lag = jnp.where(allnan, 0, lag)
+    subs = jnp.where(allnan, 0.0,
+                     subsample_shift(jnp.nan_to_num(result), maxind))
+    return maxcc, lag, subs
+
+
+@partial(jax.jit, static_argnames=("n", "nc", "nfft2"))
+def _all_pairs_fused_demux(X, II, JJ, n, nc, nfft2):
+    """
+    Demultiplexed (polyphase) all-pairs kernel. The reference only keeps
+    channel-aligned lags of the multiplexed correlation
+    (``[Nc-1::Nc]``, construct.py:452), which decompose exactly into the
+    sum of per-channel correlations — so each pair needs one irFFT of
+    length nfft/Nc instead of nfft. Requires n % nc == 0.
+    """
+    N, n_full = X.shape
+    n_c = n // nc
+    Xc = X.reshape(N, n_c, nc).transpose(0, 2, 1)        # [N, nc, n_c]
+    F = jnp.fft.rfft(Xc, nfft2, axis=-1)                 # [N, nc, R2]
+    sums = jnp.sum(X, axis=-1)
+    stds = jnp.std(X, axis=-1)
+    # rolling stats of the (n_c-1)-zero-padded channels, summed over
+    # channels == multiplexed window stats at channel-aligned offsets
+    padc = jnp.pad(Xc, ((0, 0), (0, 0), (n_c - 1, n_c - 1)))
+    s1 = jax.vmap(jax.vmap(lambda v: rolling_mean(v, n_c)))(padc)
+    s2 = jax.vmap(jax.vmap(lambda v: rolling_mean(v * v, n_c)))(padc)
+    S1 = s1.sum(1) * n_c                                  # [N, 2*n_c-1]
+    S2 = s2.sum(1) * n_c
+    a = S1 / n
+    b = jnp.sqrt(jnp.maximum(S2 / n - a * a, 0.0))        # population std
+
+    def one_batch(idx):
+        ii, jj = idx
+
+        def fn(i, j):
+            spec = jnp.sum(jnp.conj(F[i]) * F[j], axis=0)  # [R2]
+            c = jnp.fft.irfft(spec, nfft2)
+            c1s = jnp.concatenate([c[nfft2 - (n_c - 1):], c[:n_c]])
+            return _pair_cc_strided(c1s, a[j], b[j], sums[i], stds[i],
+                                    n, nc)
+        return jax.vmap(fn)(ii, jj)
+
+    return jax.lax.map(one_batch, (II, JJ))
+
+
 @partial(jax.jit, static_argnames=("n", "nc", "nfft"))
 def _all_pairs_fused(X, II, JJ, n, nc, nfft):
     """
@@ -139,10 +203,17 @@ def xcorr_all_pairs(X, nc, nfft=None, pair_batch=2048, dtype=jnp.float32):
     JJ = np.ones(nb * bsz, dtype=np.int32)
     II[:P] = iu
     JJ[:P] = ju
-    mx, lg, sb = _all_pairs_fused(jnp.asarray(X, dtype),
-                                  jnp.asarray(II.reshape(nb, bsz)),
-                                  jnp.asarray(JJ.reshape(nb, bsz)),
-                                  int(n), int(nc), int(nfft))
+    if n % nc == 0:
+        # polyphase fast path: per-pair irFFT of length nfft/nc
+        nfft2 = fft_len_for(n // nc)
+        mx, lg, sb = _all_pairs_fused_demux(
+            jnp.asarray(X, dtype), jnp.asarray(II.reshape(nb, bsz)),
+            jnp.asarray(JJ.reshape(nb, bsz)), int(n), int(nc), int(nfft2))
+    else:
+        mx, lg, sb = _all_pairs_fused(jnp.asarray(X, dtype),
+                                      jnp.asarray(II.reshape(nb, bsz)),
+                                      jnp.asarray(JJ.reshape(nb, bsz)),
+                                      int(n), int(nc), int(nfft))
     cc[iu, ju] = np.asarray(mx).ravel()[:P]
     lag[iu, ju] = np.asarray(lg).ravel()[:P]
     sub[iu, ju] = np.asarray(sb).ravel()[:P]
