@@ -55,6 +55,23 @@ def test_events_on_all_stations(synth_case, tmp_path):
     assert len(clust[0].key) == len(clust[1].key)
 
 
+def test_create_cluster_with_phases(synth_case, tmp_path):
+    """phases param: trims reference the first pick instead of the origin
+    (reference issue 25 / construct.py:93-97)."""
+    os.chdir(tmp_path)
+    clust = construct.createCluster(
+        CCreq=0.5, fetch_arg=synth_case["eventDir"], filt=[1, 8, 2, True],
+        stationKey=synth_case["stationKey"],
+        templateKey=synth_case["templateKey"], trim=[5, 30],
+        fileName=str(tmp_path / "cp.pkl"), saveclust=False,
+        phases=synth_case["phaseKey"])
+    # same cluster structure as the origin-referenced run (arrivals are a
+    # constant offset from origins in the synthetic data)
+    for cl in clust.clusters:
+        assert len(cl.clusts) == 2
+        assert all(len(c) == 3 for c in cl.clusts)
+
+
 def test_dendro_and_simmatrix_plots(synth_case, tmp_path):
     os.chdir(tmp_path)
     clust = construct.createCluster(
