@@ -105,6 +105,16 @@ def test_fas_reverse_templates(small_ss):
         assert "betadist" in r and r["hist"].sum() > 0
 
 
+def test_subspace_plots_smoke(small_ss):
+    ss, wd = small_ss
+    assert isinstance(ss.plotFracEnergy(), list)
+    assert isinstance(ss.plotAlignedEvents(), list)
+    assert isinstance(ss.plotBasisVectors(), list)
+    assert isinstance(ss.plotOffsetTimes(), list)
+    ss.plotThresholds()  # draws only rows with FAS attached
+    ss.printOffsets()
+
+
 def test_detection_with_fillzeros(small_ss, synth_case):
     """fillZeros mode runs without STA/LTA and still detects."""
     ss, wd = small_ss
