@@ -105,6 +105,23 @@ def test_fas_reverse_templates(small_ss):
         assert "betadist" in r and r["hist"].sum() > 0
 
 
+def test_del_old_corrs_append(small_ss):
+    """delOldCorrs=False appends to an existing database (reference
+    subspace.py:1847-1854)."""
+    ss, wd = small_ss
+    db = str(wd / "append.db")
+    ss.detex(subspaceDB=db, estimateMags=False, useSingles=False)
+    n1 = len(util.loadSQLite(db, "ss_df"))
+    ss.detex(subspaceDB=db, estimateMags=False, useSingles=False,
+             delOldCorrs=False)
+    n2 = len(util.loadSQLite(db, "ss_df"))
+    assert n2 == 2 * n1
+    ss.detex(subspaceDB=db, estimateMags=False, useSingles=False,
+             delOldCorrs=True)
+    n3 = len(util.loadSQLite(db, "ss_df"))
+    assert n3 == n1
+
+
 def test_subspace_plots_smoke(small_ss):
     ss, wd = small_ss
     assert isinstance(ss.plotFracEnergy(), list)
