@@ -121,8 +121,12 @@ def main(mode="subspace"):
         for i in range(iters):
             tag = (acc * 1e-20 + rep * 1000 + i).reshape(1, 1)
             X = jax.lax.dynamic_update_slice(Xs[i % len(Xs)], tag, (0, 0))
-            hist, maxds, *_ = step(X)
-            acc = maxds.ravel()[0]
+            hist, maxds, tidx, tval, tcnt = step(X)
+            # fold EVERY output into the chain: the runtime may otherwise
+            # skip computing outputs nothing depends on
+            acc = (maxds.ravel()[0] +
+                   hist.sum().astype(jnp.float32) * 1e-20 +
+                   tcnt.sum().astype(jnp.float32) * 1e-20)
         jax.block_until_ready(acc)
         dt = min(dt, time.perf_counter() - t0)
     chunk_hours = chunk_sec / 3600.0

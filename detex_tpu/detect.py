@@ -521,7 +521,8 @@ class _SSDetex(object):
             pe = MPcon[trigIndex * nc - 5 * WFlen: trigIndex * nc]
         else:
             pe = MPcon[trigIndex * nc: trigIndex * nc + WFlen + 6 * WFlen]
-        rollingstd = _np_rolling_std(pe, WFlen)
+        from detex_tpu import native as _native
+        rollingstd = _native.rolling_std(pe, WFlen)
         baseNoise = np.median(rollingstd) if len(rollingstd) else np.nan
         SNR = np.std(ConDat) / baseNoise if baseNoise else np.nan
         touse = mags > -15

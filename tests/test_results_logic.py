@@ -120,6 +120,23 @@ def test_starttime_endtime_filters(keys):
     assert len(res.Dets) == 1
 
 
+def test_singleton_table_routing_with_pf(keys):
+    """Pf keys with 'SG' names must route to sg_df (reference
+    results.py:347)."""
+    tk, sk, tmp = keys
+    db = str(tmp / "h.db")
+    t = T0 + 7200
+    _mkdb(db, [_row(0.7, t, name="SG0")], table="sg_df")
+    info = pd.DataFrame([dict(Name="SG0", Sta="TA.S00", Events="a",
+                              Threshold=0.2, beta1=4.0, beta2=60.0)])
+    util.saveSQLite(info, db, "sg_info")
+    res = results.detResults(requiredNumStations=1, ssDB=db, templateKey=tk,
+                             stationKey=sk, fetch=None, Pf=1e-8,
+                             sg_associateBuffer=1)
+    assert len(res.Dets) == 1
+    assert abs(res.Dets.iloc[0].DSmax - 0.7) < 1e-6
+
+
 def test_trigparameter_filter(keys):
     tk, sk, tmp = keys
     db = str(tmp / "g.db")
