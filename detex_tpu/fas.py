@@ -89,7 +89,7 @@ def _getDSVect(fetcher, stakey, utc1, utc2, filt, deci, dtype, conDatNum,
                                randSamps=conDatNum * 4)
     count = 0
     scount = 0
-    DSmat = []
+    accepted = []
     for st in stgen:
         if st is None or len(st) < 1:
             continue
@@ -101,13 +101,17 @@ def _getDSVect(fetcher, stakey, utc1, utc2, filt, deci, dtype, conDatNum,
             continue
         if scount >= conDatNum:
             break
-        mpCon = _construct.multiplex(st, Nc)
-        dsVect = _ds.run_bank(mpCon, bank, Nc)[0]
-        DSmat.append(dsVect)
+        accepted.append(_construct.multiplex(st, Nc))
         scount += 1
     if count == 0:
         detex_tpu.log(__name__, "Could not get any data for %s"
                       % stakey.STATION.iloc[0], level="error")
+    # all accepted chunks scanned in batched device calls
+    DSmat = []
+    BATCH = 8
+    for s in range(0, len(accepted), BATCH):
+        for ds_s in _ds.run_bank_batch(accepted[s:s + BATCH], bank, Nc):
+            DSmat.append(ds_s[0])
     return DSmat, count, scount
 
 

@@ -293,6 +293,51 @@ def run_bank(x_np, bank, nc, nfft=None, pad_len=None):
     return np.asarray(out[:, :n_valid])
 
 
+def run_bank_batch(x_list, bank, nc):
+    """
+    Run a detector bank over a list of host chunks in ONE device call
+    (lax.map over the stacked, padded batch). Returns a list of numpy
+    [S, n_valid_i] DS arrays, one per input chunk.
+    """
+    if not x_list:
+        return []
+    pad_len = bank["pad_len"]
+    n = bank["n"]
+    B = len(x_list)
+    X = np.zeros((B, pad_len), np.float32)
+    lens = []
+    for i, x in enumerate(x_list):
+        L = min(len(x), pad_len)
+        X[i, :L] = np.asarray(x[:L], np.float32)
+        lens.append(L)
+    Xd = jnp.asarray(X)
+    if bank.get("demux"):
+        out = _ds_map_demux(Xd, bank["Ufd2"], bank["sum_u"],
+                            bank["d_mask"], bank["n_c"], int(nc),
+                            bank["nfft2"])
+    else:
+        out = _ds_map_mux(Xd, bank["Ufd"], bank["sum_u"], bank["d_mask"],
+                          bank["n"], int(nc), bank["nfft"])
+    out = np.asarray(out)
+    res = []
+    for i, L in enumerate(lens):
+        n_valid = (L - n) // int(nc) + 1
+        res.append(out[i, :, :max(n_valid, 0)])
+    return res
+
+
+@partial(jax.jit, static_argnames=("n_c", "nc", "nfft2"))
+def _ds_map_demux(X, Ufd2, sum_u, d_mask, n_c, nc, nfft2):
+    return jax.lax.map(lambda x: ds_bank_demux(x, Ufd2, sum_u, d_mask,
+                                               n_c, nc, nfft2), X)
+
+
+@partial(jax.jit, static_argnames=("n", "nc", "nfft"))
+def _ds_map_mux(X, Ufd, sum_u, d_mask, n, nc, nfft):
+    return jax.lax.map(lambda x: ds_bank(x, Ufd, sum_u, d_mask, n, nc,
+                                         nfft), X)
+
+
 # ---------------------------------------------------------------------------
 # Host-side numpy oracle (used by tests and as a CPU fallback). This is the
 # straightforward transliteration of the math above in float64.
