@@ -342,6 +342,18 @@ def _getMagnitudes(g):
     return mag, PEmag
 
 
+def _loadSSdb(ssDB, trigCon, trigParameter, sta=None):
+    """Load detections from a subspace database with an optional station
+    and trigger filter (reference results.py:517-533)."""
+    cond = "DS" if trigCon == 0 else "DS_STALTA"
+    if sta:
+        sql = ('SELECT * FROM ss_df WHERE Sta="%s" AND %s > %s'
+               % (sta, cond, trigParameter))
+    else:
+        sql = "SELECT * FROM ss_df WHERE %s > %s" % (cond, trigParameter)
+    return _util.loadSQLite(ssDB, "ss_df", sql=sql)
+
+
 def _checkInputs(trigCon, trigParameter, associateReq, associateBuffer,
                  requiredNumStations):
     """(reference results.py:536-568)"""
