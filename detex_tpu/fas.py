@@ -78,6 +78,9 @@ def _initFAS(TRDF, conDatNum, cluster, fetcher, LTATime=5, STATime=0.5,
         results[ind]["betadist"] = betaparams
         results[ind]["nnlf"] = scipy.stats.beta.nnlf(
             betaparams, np.clip(dss, 1e-12, 1 - 1e-12))
+        # normal-distribution null, carried by the reference's legacy
+        # matched-filter engine (extras/xcorr.py trigCon 2/3)
+        results[ind]["normdist"] = scipy.stats.norm.fit(dss)
     return results
 
 

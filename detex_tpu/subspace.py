@@ -505,8 +505,12 @@ class SubSpace(object):
 
     def _setThresholds(self, selectCriteria, selectValue, conDatNum,
                        threshold, backupThreshold, kwargs=None):
-        """Thresholds per subspace (reference subspace.py:1015-1054)."""
-        kwargs = kwargs or {}
+        """Thresholds per subspace (reference subspace.py:1015-1054).
+        kwargs may carry thresholdDist='beta' (default) or 'norm' — the
+        normal-null option of the reference's legacy matched-filter engine
+        (extras/xcorr.py trigCon 2/3)."""
+        kwargs = dict(kwargs or {})
+        thresholdDist = kwargs.pop("thresholdDist", "beta")
         if threshold is not None and threshold > 0:
             for station in self.ssStations:
                 for ind in self.subspaces[station].index:
@@ -519,6 +523,11 @@ class SubSpace(object):
             self.getFAS(conDatNum, **kwargs)
             for station in self.ssStations:
                 for ind, row in self.subspaces[station].iterrows():
+                    if thresholdDist == "norm":
+                        mu, sigma = row.FAS["normdist"]
+                        self.subspaces[station].at[ind, "Threshold"] = \
+                            float(scipy.stats.norm.isf(self.Pf, mu, sigma))
+                        continue
                     beta_a, beta_b = row.FAS["betadist"][0:2]
                     th = scipy.stats.beta.isf(self.Pf, beta_a, beta_b, 0, 1)
                     if th > .9:
@@ -541,6 +550,8 @@ class SubSpace(object):
                              backupThreshold=None, **kwargs):
         """Thresholds for singletons; singles without pick times are dropped
         (reference subspace.py:1056-1108)."""
+        kwargs = dict(kwargs)
+        thresholdDist = kwargs.pop("thresholdDist", "beta")
         for sta in self.singStations:
             sing = self.singles[sta]
             sing["Name"] = ["SG%d" % x for x in range(len(sing))]
@@ -555,6 +566,9 @@ class SubSpace(object):
                     continue
                 if threshold:
                     th = threshold
+                elif thresholdDist == "norm":
+                    mu, sigma = row.FAS[0]["normdist"]
+                    th = float(scipy.stats.norm.isf(self.Pf, mu, sigma))
                 else:
                     beta_a, beta_b = row.FAS[0]["betadist"][0:2]
                     th = scipy.stats.beta.isf(self.Pf, beta_a, beta_b, 0, 1)

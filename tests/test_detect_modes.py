@@ -92,6 +92,21 @@ def test_fas_stalta_fallback(small_ss):
             assert row.FAS["hist"].sum() > 0
 
 
+def test_norm_threshold_dist(small_ss):
+    """thresholdDist='norm' uses the normal-null isf (legacy matched-filter
+    trigCon 2/3 capability)."""
+    import scipy.stats
+    ss, wd = small_ss
+    ss.SVD(selectCriteria=2, selectValue=0.9, conDatNum=3,
+           useSingles=False, thresholdDist="norm", staltalimit=None)
+    for sta in ss.ssStations:
+        for _, row in ss.subspaces[sta].iterrows():
+            mu, sigma = row.FAS["normdist"]
+            want = scipy.stats.norm.isf(ss.Pf, mu, sigma)
+            assert abs(row.Threshold - want) < 1e-9
+            assert 0 < row.Threshold < 1
+
+
 def test_fas_reverse_templates(small_ss):
     """Reverse-template null (Slinkard 2014) produces a comparable null
     distribution."""
