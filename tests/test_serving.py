@@ -42,6 +42,33 @@ def test_export_load_roundtrip(deployment):
         assert (b["thresholds"] == 0.4).all()
 
 
+def test_sharded_serving_scan(deployment):
+    """The deployment artifact scanned over an 8-device mesh yields the
+    same triggers as the single-device path."""
+    from detex_tpu.parallel import mesh as pmesh
+    dep = serving.load_detectors(deployment["path"], chunk_sec=3600,
+                                 conBuff=120)
+    synth = deployment["synth"]
+    cat = synth["cat"]
+    fet = deployment["cfetch"]
+    starts = [cat.t0 + h * 3600.0 for h in range(8)]
+    chunks = []
+    for s in starts:
+        st = fet.getStream(s, s + 3720, "TA", "S00",
+                           ["BHE", "BHN", "BHZ"], "*")
+        st = _applyFilter(st, [1, 8, 2, True])
+        chunks.append(multiplex(st, 3))
+    L = min(len(c) for c in chunks)
+    X = np.stack([c[:L] for c in chunks])
+    mesh = pmesh.make_mesh(8)
+    res_sharded = serving.scan_station(dep, "TA.S00", X, mesh=mesh)
+    res_single = serving.scan_station(dep, "TA.S00", X)
+    for rs, r1 in zip(res_sharded, res_single):
+        assert np.allclose(rs["hist"], r1["hist"])
+        assert np.allclose(rs["maxds"], r1["maxds"], atol=1e-5)
+        assert (rs["trig_count"] == r1["trig_count"]).all()
+
+
 def test_scan_finds_planted_events(deployment):
     """Load the artifact, scan preprocessed chunks covering a hidden event,
     and recover it through the serving API."""
