@@ -291,7 +291,10 @@ class _SSDetex(object):
             nonlocal DF, numdets
             if not batch:
                 return
-            B = len(batch)
+            # keep the device batch shape constant (one compile): the
+            # trailing partial batch is padded with empty chunks whose
+            # valid length masks everything out
+            B = self.batchSize
             for bank, th in zip(banks, thresholds_by_bank):
                 pad = bank["pad_len"]
                 bins = self.hist["Bins"] if self.calcHist else None
@@ -304,6 +307,7 @@ class _SSDetex(object):
                         L = min(ch.shape[1], Lp)
                         Xc[bi, :, :L] = ch[:, :L]
                         lens.append(L)
+                    lens.extend([0] * (B - len(batch)))
                     with _prof.stage("detect.ds_scan_batched"):
                         hist, maxds, *_ = _pscan.scan_chunks_raw(
                             Xc, lens, bank["H"], bank, th, nc,
@@ -316,6 +320,7 @@ class _SSDetex(object):
                         L = min(len(MPcon), pad)
                         X[bi, :L] = MPcon[:L]
                         lens.append(L)
+                    lens.extend([0] * (B - len(batch)))
                     with _prof.stage("detect.ds_scan_batched"):
                         hist, maxds, *_ = _pscan.scan_chunks(
                             X, bank, th, nc,
@@ -350,7 +355,15 @@ class _SSDetex(object):
                         Sar = self._createCoeffArray(
                             dsvec, stalta_vec, name, threshold, sta, det,
                             MPcon, nc, sr, tstamp)
+                        if len(Sar) > 300:
+                            detex_tpu.log(__name__, "over 300 events found "
+                                          "in single data block on %s; "
+                                          "perhaps minCoef is too low?"
+                                          % sta, level="warning", pri=True)
                         if any(Sar.DS > 1.05):
+                            detex_tpu.log(__name__, "DS values above 1.05 "
+                                          "found on %s, removing" % sta,
+                                          level="warning", pri=True)
                             Sar = Sar[Sar.DS <= 1.05]
                         if len(Sar) > 0:
                             DF = pd.concat([DF, Sar], ignore_index=True)

@@ -61,6 +61,8 @@ def _masked_detrend(xc, Lv):
     sy = jnp.sum(xc * w[None, :], axis=1)
     sty = jnp.sum(xc * (w * i)[None, :], axis=1)
     det = nn * stt - st * st
+    det = jnp.where(det == 0, 1.0, det)   # empty/degenerate pad chunks
+    nn = jnp.maximum(nn, 1.0)
     b = (nn * sty - st * sy) / det
     a = (sy - b * st) / nn
     fit = a[:, None] + b[:, None] * i[None, :]
