@@ -40,10 +40,8 @@ class _SSDetex(object):
                  devicePrep=False):
         self.batchSize = int(batchSize)
         self.devicePrep = bool(devicePrep)
-        if devicePrep and clusters.decimate:
-            detex_tpu.log(__name__, "devicePrep does not support decimate; "
-                          "set decimate=None or devicePrep=False",
-                          level="error")
+        # device decimation factor (spectral resample in the fused prep)
+        self.dpDec = int(clusters.decimate or 1) if devicePrep else 1
         if self.devicePrep and (classifyEvents is not None or
                                 utcSaves is not None or batchSize <= 1):
             detex_tpu.log(__name__, "devicePrep requires the batched scan "
@@ -175,15 +173,30 @@ class _SSDetex(object):
                                   "falling back to host prep",
                                   level="warning", pri=True)
                     self.devicePrep = False
-                elif self.filt is not None:
-                    from detex_tpu.ops import prep as _prep
-                    bank["H"] = _prep.butter_response(
-                        self.filt, samplingRate, bank["nfft2"],
-                        zerophase=bool(self.filt[3]))
                 else:
-                    import jax.numpy as jnp
-                    bank["H"] = jnp.ones(bank["nfft2"] // 2 + 1,
-                                         jnp.float32)
+                    # samplingRate is the (possibly decimated) template
+                    # rate; H acts on the raw chunk at raw rate over
+                    # dec * nfft2 bins
+                    dec = self.dpDec
+                    raw_sr = samplingRate * dec
+                    nbins = dec * bank["nfft2"]
+                    if self.filt is not None:
+                        if self.filt[1] >= samplingRate / 2.0 and dec > 1:
+                            detex_tpu.log(
+                                __name__, "devicePrep decimation needs the "
+                                "bandpass below the decimated Nyquist; "
+                                "falling back to host prep",
+                                level="warning", pri=True)
+                            self.devicePrep = False
+                            banks.append(bank)
+                            continue
+                        from detex_tpu.ops import prep as _prep
+                        bank["H"] = _prep.butter_response(
+                            self.filt, raw_sr, nbins,
+                            zerophase=bool(self.filt[3]))
+                    else:
+                        import jax.numpy as jnp
+                        bank["H"] = jnp.ones(nbins // 2 + 1, jnp.float32)
             banks.append(bank)
         return det, banks
 
@@ -299,7 +312,7 @@ class _SSDetex(object):
                 pad = bank["pad_len"]
                 bins = self.hist["Bins"] if self.calcHist else None
                 if self.devicePrep:
-                    Lp = pad // nc
+                    Lp = (pad // nc) * self.dpDec
                     Xc = np.zeros((B, nc, Lp), np.float32)
                     lens = []
                     for bi, (payload, sr, tstamp) in enumerate(batch):
@@ -311,7 +324,8 @@ class _SSDetex(object):
                     with _prof.stage("detect.ds_scan_batched"):
                         hist, maxds, *_ = _pscan.scan_chunks_raw(
                             Xc, lens, bank["H"], bank, th, nc,
-                            buff_samps=1, bins=bins, max_trig=1)
+                            buff_samps=1, bins=bins, max_trig=1,
+                            dec=self.dpDec)
                 else:
                     X = np.zeros((B, pad), np.float32)
                     lens = []
@@ -384,11 +398,11 @@ class _SSDetex(object):
                 continue
             try:
                 with _prof.stage("detect.filter"):
-                    # devicePrep: merge/trim only on host; detrend+bandpass
-                    # run fused on device
+                    # devicePrep: merge/trim only on host; detrend, bandpass
+                    # (and decimation) run fused on device
                     filt = None if self.devicePrep else self.filt
-                    conSt = _applyFilter(st, filt, self.decimate,
-                                         self.dtype,
+                    deci = None if self.devicePrep else self.decimate
+                    conSt = _applyFilter(st, filt, deci, self.dtype,
                                          fillZeros=self.fillZeros)
             except Exception:
                 detex_tpu.log(__name__, "failed to filter chunk on %s"
@@ -397,11 +411,13 @@ class _SSDetex(object):
             if len(conSt) < 1:
                 continue
             sr = conSt[0].stats.sampling_rate
+            if self.devicePrep:
+                sr = sr / self.dpDec  # DS runs at the decimated rate
             tstamp = conSt[0].stats.starttime.timestamp
             if self.devicePrep:
                 conSt.sort()
                 L = min(len(tr.data) for tr in conSt)
-                if L * nc <= nmax:
+                if (L // self.dpDec) * nc <= nmax:
                     continue
                 chans = np.stack([np.asarray(tr.data[:L], np.float32)
                                   for tr in conSt])

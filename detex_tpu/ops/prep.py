@@ -69,21 +69,29 @@ def _masked_detrend(xc, Lv):
     return (xc - fit) * w[None, :]
 
 
-@partial(jax.jit, static_argnames=("n_c", "nc", "nfft2"))
-def ds_bank_demux_raw(xc, Lv, H, Ufd2, sum_u, d_mask, n_c, nc, nfft2):
+@partial(jax.jit, static_argnames=("n_c", "nc", "nfft2", "dec"))
+def ds_bank_demux_raw(xc, Lv, H, Ufd2, sum_u, d_mask, n_c, nc, nfft2,
+                      dec=1):
     """
     DS of one chunk from RAW per-channel data with fused preprocessing.
 
-    xc: [nc, L_c] raw channels zero-padded to the bank's per-channel pad
-    length; Lv: scalar true per-channel sample count; H: rfft-bin filter
-    response (real for zerophase); bank arrays as in ds_bank_demux.
-    Returns [S, L_c - n_c + 1] (caller masks windows beyond Lv).
+    xc: [nc, L_raw] raw channels zero-padded to ``dec x`` the bank's
+    per-channel pad length; Lv: scalar true per-channel RAW sample count;
+    H: rfft-bin filter response at the raw rate over dec*nfft2 bins (real
+    for zerophase); bank arrays as in ds_bank_demux. ``dec`` > 1 resamples
+    on device by spectral truncation (ideal anti-alias lowpass) — valid
+    when the bandpass keeps energy below the decimated Nyquist.
+    Returns [S, L_c - n_c + 1] at the decimated rate (caller masks windows
+    beyond Lv // dec).
     """
-    L_c = xc.shape[1]
+    L_c = xc.shape[1] // dec
     n = n_c * nc
     xd = _masked_detrend(xc, Lv)
-    F = jnp.fft.rfft(xd, nfft2, axis=-1)              # [nc, R2]
+    F = jnp.fft.rfft(xd, dec * nfft2, axis=-1)        # [nc, dec*R2..]
     Ff = F * H[None, :]
+    if dec > 1:
+        Ff = Ff[:, : nfft2 // 2 + 1]                  # spectral resample
+        Lv = Lv // dec
     xf = jnp.fft.irfft(Ff, nfft2, axis=-1)[:, :L_c]   # filtered channels
     # standardization statistics over the valid region only
     i = jnp.arange(L_c)
@@ -116,15 +124,16 @@ def ds_bank_demux_raw(xc, Lv, H, Ufd2, sum_u, d_mask, n_c, nc, nfft2):
     return num / powsafe[None, :]
 
 
-def run_bank_raw(chans, bank, nc, H):
+def run_bank_raw(chans, bank, nc, H, dec=1):
     """
-    Host wrapper: raw channel stack [nc, L] -> DS [S, n_valid] through the
-    fused device prep + scan (counterpart of ds.run_bank for the
-    devicePrep path).
+    Host wrapper: raw channel stack [nc, L_raw] -> DS [S, n_valid] through
+    the fused device prep + scan (counterpart of ds.run_bank for the
+    devicePrep path). ``dec`` decimates on device (bank built at the
+    decimated rate).
     """
     chans = np.asarray(chans, np.float32)
     L = chans.shape[1]
-    L_pad = bank["pad_len"] // nc
+    L_pad = (bank["pad_len"] // nc) * dec
     if L > L_pad:
         chans = chans[:, :L_pad]
         L = L_pad
@@ -132,8 +141,8 @@ def run_bank_raw(chans, bank, nc, H):
     xp[:, :L] = chans
     out = ds_bank_demux_raw(jnp.asarray(xp), jnp.int32(L),
                             H, bank["Ufd2"], bank["sum_u"], bank["d_mask"],
-                            bank["n_c"], int(nc), bank["nfft2"])
-    n_valid = (L * nc - bank["n"]) // nc + 1
+                            bank["n_c"], int(nc), bank["nfft2"], int(dec))
+    n_valid = ((L // dec) * nc - bank["n"]) // nc + 1
     if n_valid <= 0:
         return np.zeros((out.shape[0], 0), np.float32)
     return np.asarray(out[:, :n_valid])

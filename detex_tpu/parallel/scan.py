@@ -124,12 +124,12 @@ def scan_chunks(X, bank, thresholds, nc, buff_samps, bins=None, max_trig=64,
 
 
 def _chunk_fn_raw(xc, Lv, H, arrs, thresholds, bins, n_c, nc, nfft,
-                  buff_samps, max_trig):
+                  buff_samps, max_trig, dec=1):
     """Raw-channel variant of _chunk_fn with fused device preprocessing."""
     from detex_tpu.ops.prep import ds_bank_demux_raw
     ds = ds_bank_demux_raw(xc, Lv, H, arrs[0], arrs[1], arrs[2], n_c, nc,
-                           nfft)
-    nv = (Lv * nc - n_c * nc) // nc + 1
+                           nfft, dec)
+    nv = (Lv // dec) - n_c + 1
     pos = jnp.arange(ds.shape[-1])
     ds = jnp.where(pos[None, :] < nv, ds, -jnp.inf)
     hist = jax.vmap(lambda v: _hist_counts(v, bins))(ds)
@@ -147,21 +147,23 @@ def _chunk_fn_raw(xc, Lv, H, arrs, thresholds, bins, n_c, nc, nfft,
 
 
 @partial(jax.jit, static_argnames=("n_c", "nc", "nfft", "buff_samps",
-                                   "max_trig"))
+                                   "max_trig", "dec"))
 def _scan_chunks_raw_jit(Xc, LV, H, arrs, thresholds, bins, n_c, nc, nfft,
-                         buff_samps, max_trig):
+                         buff_samps, max_trig, dec):
     f = lambda xn: _chunk_fn_raw(xn[0], xn[1], H, arrs, thresholds,  # noqa
-                                 bins, n_c, nc, nfft, buff_samps, max_trig)
+                                 bins, n_c, nc, nfft, buff_samps, max_trig,
+                                 dec)
     hist, maxds, tidx, tval, tcnt = jax.lax.map(f, (Xc, LV))
     return hist.sum(axis=0), maxds, tidx, tval, tcnt
 
 
 def scan_chunks_raw(Xc, lens, H, bank, thresholds, nc, buff_samps,
-                    bins=None, max_trig=64):
+                    bins=None, max_trig=64, dec=1):
     """
     Batched scan from RAW channels with fused device preprocessing
-    (detrend + spectral bandpass): Xc [B, nc, L_c] zero-padded channels,
-    lens [B] true per-channel sample counts.
+    (detrend + spectral bandpass + optional spectral decimation):
+    Xc [B, nc, L_raw] zero-padded channels, lens [B] true per-channel RAW
+    sample counts.
     """
     if bins is None:
         bins = DEFAULT_BINS
@@ -172,7 +174,7 @@ def scan_chunks_raw(Xc, lens, H, bank, thresholds, nc, buff_samps,
         jnp.asarray(Xc, jnp.float32), jnp.asarray(lens, jnp.int32), H,
         arrs, jnp.asarray(thresholds, jnp.float32),
         jnp.asarray(bins, jnp.float32), bank["n_c"], int(nc),
-        bank["nfft2"], int(buff_samps), int(max_trig))
+        bank["nfft2"], int(buff_samps), int(max_trig), int(dec))
 
 
 def scan_chunks_sharded(mesh, X, bank, thresholds, nc, buff_samps,

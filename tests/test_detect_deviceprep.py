@@ -25,6 +25,34 @@ def ss(synth_case, tmp_path_factory):
     return s, wd
 
 
+def test_deviceprep_with_decimation(synth_case, tmp_path):
+    """devicePrep with decimate: spectral resample on device must find the
+    same events as the host filter+decimate path."""
+    os.chdir(tmp_path)
+    clust = construct.createCluster(
+        CCreq=0.5, fetch_arg=synth_case["eventDir"], filt=[1, 5, 2, True],
+        stationKey=synth_case["stationKey"],
+        templateKey=synth_case["templateKey"], trim=[10, 60],
+        decimate=2, fileName=str(tmp_path / "cd.pkl"), saveclust=False)
+    cfetch = getdata.DataFetcher("dir", directoryName=synth_case["conDir"])
+    s = construct.createSubSpace(Pf=1e-9, clust=clust,
+                                 conDatFetcher=cfetch)
+    s.attachPickTimes(pksFile=synth_case["phaseKey"], defaultDuration=20)
+    s.SVD(threshold=0.4, useSingles=False)
+    db_host = str(tmp_path / "host_d.db")
+    db_dev = str(tmp_path / "dev_d.db")
+    s.detex(subspaceDB=db_host, estimateMags=False)
+    s.detex(subspaceDB=db_dev, estimateMags=False, devicePrep=True)
+    host = util.loadSQLite(db_host, "ss_df")
+    dev = util.loadSQLite(db_dev, "ss_df")
+    assert host is not None and dev is not None
+    assert len(host) == len(dev)
+    host = host.sort_values("STMP").reset_index(drop=True)
+    dev = dev.sort_values("STMP").reset_index(drop=True)
+    assert (abs(host.STMP - dev.STMP) < 0.5).all()
+    assert (abs(host.DS - dev.DS) < 1e-3).all()
+
+
 def test_deviceprep_matches_host_detections(ss):
     s, wd = ss
     db_host = str(wd / "host.db")
