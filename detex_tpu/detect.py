@@ -220,7 +220,7 @@ class _SSDetex(object):
                                              utcend=self.utcEnd,
                                              returnTimes=True)
         use_batch = (self.batchSize > 1 and self.classifyEvents is None
-                     and self.utcSaves is None)
+                     and self.utcSaves is None and self.trigCon == 0)
         if use_batch:
             return self._corDatBatched(threshold, sta, names, det, banks,
                                        nc, datGen, histdic, tableName)
@@ -256,7 +256,12 @@ class _SSDetex(object):
                     self.eventCorList.append(pd.DataFrame(
                         [[sta, name, maxds, tstamp]],
                         columns=["Sta", "Name", "DS", "TimeStamp"]))
-                if maxds > threshold[name]:
+                if self.trigCon == 1:
+                    trig_val = (float(np.nanmax(stalta_vec))
+                                if stalta_vec is not None else 0.0)
+                else:
+                    trig_val = maxds
+                if trig_val > threshold[name]:
                     Sar = self._createCoeffArray(
                         dsvec, stalta_vec, name, threshold, sta, det, MPcon,
                         nc, sr, tstamp)

@@ -849,9 +849,13 @@ class SubSpace(object):
         host-filtered path.
         """
         from detex_tpu.detect import _SSDetex
-        if trigCon != 0:
-            detex_tpu.log(__name__, "trigCon other than 0 not supported",
-                          level="error")
+        if trigCon not in (0, 1):
+            detex_tpu.log(__name__, "trigCon must be 0 (DS) or 1 (STA/LTA "
+                          "of DS; detex_tpu extension — the reference "
+                          "rejects 1)", level="error")
+        if trigCon == 1 and fillZeros:
+            detex_tpu.log(__name__, "trigCon=1 needs the STA/LTA, which is "
+                          "disabled by fillZeros", level="error")
         if os.path.exists(subspaceDB):
             if delOldCorrs:
                 os.remove(subspaceDB)

@@ -92,6 +92,31 @@ def test_fas_stalta_fallback(small_ss):
             assert row.FAS["hist"].sum() > 0
 
 
+def test_trigcon1_stalta_triggering(small_ss, synth_case):
+    """trigCon=1 (STA/LTA of the DS) — a detex_tpu extension the reference
+    rejects. Manual per-detector STA/LTA thresholds find the planted
+    events."""
+    ss, wd = small_ss
+    # DS thresholds are 0.5 from the fixture; override to STA/LTA scale
+    for sta in ss.ssStations:
+        ss.subspaces[sta]["Threshold"] = 4.0
+    db = str(wd / "tc1.db")
+    try:
+        ss.detex(subspaceDB=db, trigCon=1, triggerLTATime=60,
+                 triggerSTATime=2, estimateMags=False, useSingles=False)
+        ssdf = util.loadSQLite(db, "ss_df")
+        assert ssdf is not None and len(ssdf) >= 2
+        # DS_STALTA column carries the trigger statistic
+        assert (ssdf.DS_STALTA > 4.0).all()
+        # the strongest STA/LTA triggers land on real events (high DS);
+        # weaker ones may be relative bumps in quiet noise (expected for
+        # STA/LTA triggering)
+        assert ssdf.DS.max() > 0.5
+    finally:
+        for sta in ss.ssStations:
+            ss.subspaces[sta]["Threshold"] = 0.5
+
+
 def test_norm_threshold_dist(small_ss):
     """thresholdDist='norm' uses the normal-null isf (legacy matched-filter
     trigCon 2/3 capability)."""
