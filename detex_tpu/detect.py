@@ -37,17 +37,27 @@ class _SSDetex(object):
                  trigCon, triggerLTATime, triggerSTATime, multiprocess,
                  calcHist, dtype, estimateMags, classifyEvents, eventCorFile,
                  utcSaves, fillZeros, issubspace=True, batchSize=8,
-                 devicePrep=False):
+                 devicePrep=False, staltaThreshold=None):
+        self.staltaThreshold = staltaThreshold
         self.batchSize = int(batchSize)
         self.devicePrep = bool(devicePrep)
         # device decimation factor (spectral resample in the fused prep)
         self.dpDec = int(clusters.decimate or 1) if devicePrep else 1
         if self.devicePrep and (classifyEvents is not None or
-                                utcSaves is not None or batchSize <= 1):
+                                utcSaves is not None or batchSize <= 1 or
+                                trigCon != 0):
             detex_tpu.log(__name__, "devicePrep requires the batched scan "
-                          "path; falling back to host preprocessing",
-                          level="warning", pri=True)
+                          "path (trigCon=0, no classifyEvents/utcSaves, "
+                          "batchSize > 1); falling back to host "
+                          "preprocessing", level="warning", pri=True)
             self.devicePrep = False
+        # devicePrep trigger-gate tolerance: the fused spectral filter
+        # differs from the host SOS filter by circular-convolution edge
+        # effects, so the device maxds can land slightly below the host-path
+        # DS. Chunks within this margin below threshold are re-verified
+        # through the exact host path (false gate hits only cost a host
+        # recompute; detections themselves always come from the host path).
+        self.devicePrepEps = 0.005
         self.utcStart = utcStart
         self.utcEnd = utcEnd
         self.filt = clusters.filt
@@ -224,6 +234,9 @@ class _SSDetex(object):
         if use_batch:
             return self._corDatBatched(threshold, sta, names, det, banks,
                                        nc, datGen, histdic, tableName)
+        # trigger thresholds: trigCon=1 (STA/LTA of DS) uses its own
+        # staltaThreshold parameter, not the per-row DS Threshold column
+        trigth = self._trigThresholds(threshold)
         for st, utc1, utc2 in datGen:
             if st is None or len(st) < 1:
                 detex_tpu.log(__name__, "could not get data on %s from %s to"
@@ -261,9 +274,9 @@ class _SSDetex(object):
                                 if stalta_vec is not None else 0.0)
                 else:
                     trig_val = maxds
-                if trig_val > threshold[name]:
+                if trig_val > trigth[name]:
                     Sar = self._createCoeffArray(
-                        dsvec, stalta_vec, name, threshold, sta, det, MPcon,
+                        dsvec, stalta_vec, name, trigth, sta, det, MPcon,
                         nc, sr, tstamp)
                     if len(Sar) > 300:
                         detex_tpu.log(__name__, "over 300 events found in "
@@ -301,6 +314,11 @@ class _SSDetex(object):
         numdets = 0
         DF = pd.DataFrame()
         pending = []  # (MPcon, sr, tstamp)
+        # multi-device: shard the chunk batch across all local devices
+        # (the station x detector x chunk grid's chunk axis; SURVEY.md
+        # section 2 checklist). Histograms merge on device via psum; maxima
+        # and the rare triggered chunks come back exactly as single-device.
+        mesh = _pscan.engine_mesh()
         thresholds_by_bank = [
             np.asarray([threshold[nm] for nm in bank["names"]], np.float32)
             for bank in banks]
@@ -330,7 +348,7 @@ class _SSDetex(object):
                         hist, maxds, *_ = _pscan.scan_chunks_raw(
                             Xc, lens, bank["H"], bank, th, nc,
                             buff_samps=1, bins=bins, max_trig=1,
-                            dec=self.dpDec)
+                            dec=self.dpDec, mesh=mesh)
                 else:
                     X = np.zeros((B, pad), np.float32)
                     lens = []
@@ -344,13 +362,17 @@ class _SSDetex(object):
                         hist, maxds, *_ = _pscan.scan_chunks(
                             X, bank, th, nc,
                             buff_samps=1,  # device trigger list unused
-                            bins=bins, max_trig=1, valid_lens=lens)
+                            bins=bins, max_trig=1, valid_lens=lens,
+                            mesh=mesh)
                 hist = np.asarray(hist)
                 maxds = np.asarray(maxds)
+                # devicePrep gate margin (see __init__): triggered chunks
+                # are re-verified host-side, so gate a touch below threshold
+                gate_eps = self.devicePrepEps if self.devicePrep else 0.0
                 for bi, (payload, sr, tstamp) in enumerate(batch):
                     MPcon = None
                     for si, name in enumerate(bank["names"]):
-                        if not maxds[bi, si] > threshold[name]:
+                        if not maxds[bi, si] > threshold[name] - gate_eps:
                             continue
                         if MPcon is None:
                             if self.devicePrep:
@@ -481,6 +503,22 @@ class _SSDetex(object):
                     vec = np.where(np.isfinite(vec), vec, 0.0)
                 dsdict[name] = vec
         return dsdict, MPcon, sr, tstamp
+
+    def _trigThresholds(self, threshold):
+        """Per-detector *trigger* thresholds: the DS Threshold column for
+        trigCon=0; the user's staltaThreshold (float or dict keyed by
+        detector name) for trigCon=1."""
+        if self.trigCon != 1:
+            return threshold
+        st = self.staltaThreshold
+        if isinstance(st, dict):
+            missing = sorted(set(threshold) - set(st))
+            if missing:
+                detex_tpu.log(__name__, "staltaThreshold dict is missing "
+                              "detectors: %s" % ", ".join(missing),
+                              level="error")
+            return {n: float(st[n]) for n in threshold}
+        return {n: float(st) for n in threshold}
 
     def _makeUTCSaveDF(self, name, threshold, sta, det, MPcon, dsvec, sr,
                        tstamp):

@@ -15,7 +15,11 @@ on device, inside the FFTs the scan already performs:
   - standardization for f32 accuracy is applied algebraically to the
     spectra (the DS is affine-invariant), so only 3 extra irFFTs are paid
 
-Enabled with ``SubSpace.detex(devicePrep=True)`` (requires decimate=None).
+Enabled with ``SubSpace.detex(devicePrep=True)``. Decimation is supported
+on device too: with ``dec > 1`` the channel spectra are truncated at the
+decimated Nyquist (an ideal anti-alias lowpass + spectral resample), valid
+whenever the bandpass keeps energy below the decimated Nyquist — the
+detection engine checks this and falls back to host prep otherwise.
 """
 from __future__ import annotations
 

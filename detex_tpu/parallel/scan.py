@@ -11,7 +11,8 @@ communication).
 """
 from __future__ import annotations
 
-from functools import partial
+import os
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +28,35 @@ from detex_tpu.ops import ds as _ds
 from detex_tpu.ops import triggers as _triggers
 
 DEFAULT_BINS = np.linspace(0, 1, 401)
+
+
+def engine_mesh():
+    """
+    The mesh the production detection engine shards its chunk batches over:
+    a 1-D mesh across all local devices when more than one is present
+    (disable with ``DETEX_TPU_MESH=0``), else None (single-device path).
+    """
+    if os.environ.get("DETEX_TPU_MESH", "1") == "0":
+        return None
+    devs = jax.devices()
+    if len(devs) < 2:
+        return None
+    from detex_tpu.parallel.mesh import make_mesh
+    return make_mesh()
+
+
+def _pad_batch(n_dev, X, nv):
+    """Round the chunk batch up to a multiple of the mesh size with
+    zero-length (fully masked) chunks; returns (Xp, nvp, B_orig)."""
+    B = X.shape[0]
+    Bp = -(-B // n_dev) * n_dev
+    if Bp == B:
+        return X, nv, B
+    Xp = np.zeros((Bp,) + X.shape[1:], X.dtype)
+    Xp[:B] = X
+    nvp = np.zeros(Bp, nv.dtype)
+    nvp[:B] = nv
+    return Xp, nvp, B
 
 
 def _hist_counts(ds, bins):
@@ -107,14 +137,19 @@ def _valid_lens(bank, nc, X, valid_lens):
 
 
 def scan_chunks(X, bank, thresholds, nc, buff_samps, bins=None, max_trig=64,
-                valid_lens=None):
-    """Single-device batched scan: X [B, Lc] -> (hist, maxds, trig...).
+                valid_lens=None, mesh=None):
+    """Batched scan: X [B, Lc] -> (hist, maxds, trig...).
     ``valid_lens`` (optional, [B]) gives each chunk's true multiplexed
-    sample count when rows are zero-padded."""
+    sample count when rows are zero-padded. With ``mesh`` the batch is
+    chunk-sharded across the mesh (padded to a multiple of its size)."""
+    if mesh is not None and mesh.size > 1:
+        return scan_chunks_sharded(mesh, X, bank, thresholds, nc, buff_samps,
+                                   bins=bins, max_trig=max_trig,
+                                   valid_lens=valid_lens)
     if bins is None:
         bins = DEFAULT_BINS
     st = _bank_statics(bank, nc)
-    nv = _valid_lens(bank, nc, X, valid_lens)
+    nv = _valid_lens(bank, nc, np.asarray(X), valid_lens)
     return _scan_chunks_jit(jnp.asarray(X, jnp.float32), jnp.asarray(nv),
                             _bank_arrays(bank),
                             jnp.asarray(thresholds, jnp.float32),
@@ -158,13 +193,17 @@ def _scan_chunks_raw_jit(Xc, LV, H, arrs, thresholds, bins, n_c, nc, nfft,
 
 
 def scan_chunks_raw(Xc, lens, H, bank, thresholds, nc, buff_samps,
-                    bins=None, max_trig=64, dec=1):
+                    bins=None, max_trig=64, dec=1, mesh=None):
     """
     Batched scan from RAW channels with fused device preprocessing
     (detrend + spectral bandpass + optional spectral decimation):
     Xc [B, nc, L_raw] zero-padded channels, lens [B] true per-channel RAW
-    sample counts.
+    sample counts. With ``mesh`` the batch is chunk-sharded across it.
     """
+    if mesh is not None and mesh.size > 1:
+        return scan_chunks_raw_sharded(mesh, Xc, lens, H, bank, thresholds,
+                                       nc, buff_samps, bins=bins,
+                                       max_trig=max_trig, dec=dec)
     if bins is None:
         bins = DEFAULT_BINS
     if not bank.get("demux"):
@@ -177,26 +216,15 @@ def scan_chunks_raw(Xc, lens, H, bank, thresholds, nc, buff_samps,
         bank["nfft2"], int(buff_samps), int(max_trig), int(dec))
 
 
-def scan_chunks_sharded(mesh, X, bank, thresholds, nc, buff_samps,
-                        bins=None, max_trig=64, axis="chunks",
-                        valid_lens=None):
-    """
-    Multi-chip scan of chunk batch X [B, Lc] (B divisible by mesh size).
-
-    Returns (hist [S, nbins] merged via psum, maxds [B, S],
-    trig_idx [B, S, K], trig_val [B, S, K], trig_count [B, S]).
-    """
-    if bins is None:
-        bins = DEFAULT_BINS
-    st = _bank_statics(bank, nc)
-    arrs = _bank_arrays(bank)
-    demux, n_c, nfft = st["demux"], st["n_c"], st["nfft"]
-    nv = _valid_lens(bank, nc, X, valid_lens)
+@lru_cache(maxsize=None)
+def _sharded_scan_fn(mesh, demux, n_c, nc, nfft, buff_samps, max_trig, axis):
+    """Build (once per static config) the jitted shard_map scan: chunks
+    sharded over ``axis``, DS histogram merged with one psum."""
 
     def shard_body(Xs, NV, arrs, thresholds, bins):
         f = lambda xn: _chunk_fn(xn[0], xn[1], arrs, thresholds,    # noqa
-                                 bins, demux, n_c, int(nc), nfft,
-                                 int(buff_samps), int(max_trig))
+                                 bins, demux, n_c, nc, nfft,
+                                 buff_samps, max_trig)
         hist, maxds, tidx, tval, tcnt = jax.lax.map(f, (Xs, NV))
         hist = jax.lax.psum(hist.sum(axis=0), axis)
         return hist, maxds, tidx, tval, tcnt
@@ -204,6 +232,67 @@ def scan_chunks_sharded(mesh, X, bank, thresholds, nc, buff_samps,
     fn = shard_map(shard_body, mesh=mesh,
                    in_specs=(P(axis), P(axis), P(), P(), P()),
                    out_specs=(P(), P(axis), P(axis), P(axis), P(axis)))
-    return jax.jit(fn)(jnp.asarray(X, jnp.float32), jnp.asarray(nv), arrs,
-                       jnp.asarray(thresholds, jnp.float32),
-                       jnp.asarray(bins, jnp.float32))
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def _sharded_scan_raw_fn(mesh, n_c, nc, nfft, buff_samps, max_trig, dec,
+                         axis):
+    """Sharded variant of the raw-channel (fused devicePrep) scan."""
+
+    def shard_body(Xs, LV, H, arrs, thresholds, bins):
+        f = lambda xn: _chunk_fn_raw(xn[0], xn[1], H, arrs,         # noqa
+                                     thresholds, bins, n_c, nc, nfft,
+                                     buff_samps, max_trig, dec)
+        hist, maxds, tidx, tval, tcnt = jax.lax.map(f, (Xs, LV))
+        hist = jax.lax.psum(hist.sum(axis=0), axis)
+        return hist, maxds, tidx, tval, tcnt
+
+    fn = shard_map(shard_body, mesh=mesh,
+                   in_specs=(P(axis), P(axis), P(), P(), P(), P()),
+                   out_specs=(P(), P(axis), P(axis), P(axis), P(axis)))
+    return jax.jit(fn)
+
+
+def scan_chunks_sharded(mesh, X, bank, thresholds, nc, buff_samps,
+                        bins=None, max_trig=64, axis="chunks",
+                        valid_lens=None):
+    """
+    Multi-chip scan of chunk batch X [B, Lc]; B is padded up to a multiple
+    of the mesh size with fully-masked chunks and the outputs sliced back.
+
+    Returns (hist [S, nbins] merged via psum, maxds [B, S],
+    trig_idx [B, S, K], trig_val [B, S, K], trig_count [B, S]).
+    """
+    if bins is None:
+        bins = DEFAULT_BINS
+    st = _bank_statics(bank, nc)
+    X = np.asarray(X, np.float32)
+    nv = _valid_lens(bank, nc, X, valid_lens)
+    X, nv, B = _pad_batch(mesh.size, X, nv)
+    fn = _sharded_scan_fn(mesh, st["demux"], st["n_c"], int(nc), st["nfft"],
+                          int(buff_samps), int(max_trig), axis)
+    hist, maxds, tidx, tval, tcnt = fn(
+        jnp.asarray(X), jnp.asarray(nv), _bank_arrays(bank),
+        jnp.asarray(thresholds, jnp.float32), jnp.asarray(bins, jnp.float32))
+    return hist, maxds[:B], tidx[:B], tval[:B], tcnt[:B]
+
+
+def scan_chunks_raw_sharded(mesh, Xc, lens, H, bank, thresholds, nc,
+                            buff_samps, bins=None, max_trig=64, dec=1,
+                            axis="chunks"):
+    """Multi-chip raw-channel scan (fused devicePrep); B padded to a
+    multiple of the mesh size like scan_chunks_sharded."""
+    if bins is None:
+        bins = DEFAULT_BINS
+    if not bank.get("demux"):
+        raise ValueError("scan_chunks_raw_sharded requires a demuxed bank")
+    Xc = np.asarray(Xc, np.float32)
+    lens = np.asarray(lens, np.int32)
+    Xc, lens, B = _pad_batch(mesh.size, Xc, lens)
+    fn = _sharded_scan_raw_fn(mesh, bank["n_c"], int(nc), bank["nfft2"],
+                              int(buff_samps), int(max_trig), int(dec), axis)
+    hist, maxds, tidx, tval, tcnt = fn(
+        jnp.asarray(Xc), jnp.asarray(lens), H, _bank_arrays(bank),
+        jnp.asarray(thresholds, jnp.float32), jnp.asarray(bins, jnp.float32))
+    return hist, maxds[:B], tidx[:B], tval[:B], tcnt[:B]

@@ -108,10 +108,16 @@ def load_detectors(path, chunk_sec=3600.0, conBuff=120.0):
 
 
 def scan_station(dep, sta, chunks, mesh=None, bins=None, buff_sec=20.0,
-                 max_trig=64):
+                 max_trig=64, valid_lens=None):
     """
     Scan a [B, Lc] matrix of multiplexed chunks for one station against all
     of its detector banks; single-device or mesh-sharded.
+
+    ``valid_lens`` ([B], optional) gives each chunk's true multiplexed
+    sample count when rows are zero-padded; DS windows straddling the
+    real-data/pad boundary are masked out of histograms, maxima and trigger
+    extraction (like the detection engine's path). Defaults to the full
+    row width.
 
     Returns list of per-bank dicts: {names, hist [S, nbins], maxds [B, S],
     trig_idx, trig_val, trig_count}.
@@ -121,6 +127,10 @@ def scan_station(dep, sta, chunks, mesh=None, bins=None, buff_sec=20.0,
     buff = int(buff_sec * sr)
     results = []
     chunks = np.asarray(chunks, np.float32)
+    if valid_lens is None:
+        valid_lens = np.full(chunks.shape[0], chunks.shape[1], np.int64)
+    else:
+        valid_lens = np.asarray(valid_lens, np.int64)
     for bank in sd["banks"]:
         pad = bank["pad_len"]
         if chunks.shape[1] < pad:
@@ -128,14 +138,10 @@ def scan_station(dep, sta, chunks, mesh=None, bins=None, buff_sec=20.0,
             padded[:, :chunks.shape[1]] = chunks
         else:
             padded = chunks[:, :pad]
-        if mesh is not None:
-            hist, maxds, ti, tv, tc = _scan.scan_chunks_sharded(
-                mesh, padded, bank, bank["thresholds"], nc, buff,
-                bins=bins, max_trig=max_trig)
-        else:
-            hist, maxds, ti, tv, tc = _scan.scan_chunks(
-                padded, bank, bank["thresholds"], nc, buff, bins=bins,
-                max_trig=max_trig)
+        vlens = np.minimum(valid_lens, pad)
+        hist, maxds, ti, tv, tc = _scan.scan_chunks(
+            padded, bank, bank["thresholds"], nc, buff, bins=bins,
+            max_trig=max_trig, valid_lens=vlens, mesh=mesh)
         results.append(dict(names=bank["names"], hist=np.asarray(hist),
                             maxds=np.asarray(maxds),
                             trig_idx=np.asarray(ti),

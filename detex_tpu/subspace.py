@@ -836,7 +836,8 @@ class SubSpace(object):
               multiprocess=False, delOldCorrs=True, calcHist=True,
               useSubSpaces=True, useSingles=False, estimateMags=True,
               classifyEvents=None, eventCorFile="EventCors", utcSaves=None,
-              fillZeros=False, batchSize=8, devicePrep=False):
+              fillZeros=False, batchSize=8, devicePrep=False,
+              staltaThreshold=None):
         """
         Run subspace detection over continuous data; detections land in the
         SQLite database ``subspaceDB`` with the reference schema
@@ -846,9 +847,18 @@ class SubSpace(object):
         ``devicePrep=True`` fuses detrend + zero-phase bandpass into the
         device scan (see detex_tpu.ops.prep), removing the host filter from
         the hot path; triggered chunks are re-verified through the exact
-        host-filtered path.
+        host-filtered path. With more than one device the engine shards
+        its chunk batches over the mesh automatically (DETEX_TPU_MESH=0
+        disables). trigCon=1 (STA/LTA of the DS, a detex_tpu extension)
+        triggers on ``staltaThreshold`` — a float, or a {detector-name:
+        float} dict — NOT on the per-row DS Threshold column.
         """
         from detex_tpu.detect import _SSDetex
+        if multiprocess:
+            detex_tpu.log(__name__, "multiprocess is not supported: "
+                          "detex_tpu parallelizes over the device mesh "
+                          "automatically (the reference also rejects it, "
+                          "subspace.py:1842-1845)", level="error")
         if trigCon not in (0, 1):
             detex_tpu.log(__name__, "trigCon must be 0 (DS) or 1 (STA/LTA "
                           "of DS; detex_tpu extension — the reference "
@@ -856,6 +866,11 @@ class SubSpace(object):
         if trigCon == 1 and fillZeros:
             detex_tpu.log(__name__, "trigCon=1 needs the STA/LTA, which is "
                           "disabled by fillZeros", level="error")
+        if trigCon == 1 and staltaThreshold is None:
+            detex_tpu.log(__name__, "trigCon=1 requires staltaThreshold "
+                          "(float or {detector-name: float}); the DS "
+                          "Threshold column is not an STA/LTA scale",
+                          level="error")
         if os.path.exists(subspaceDB):
             if delOldCorrs:
                 os.remove(subspaceDB)
@@ -875,7 +890,8 @@ class SubSpace(object):
                            triggerLTATime, triggerSTATime, multiprocess,
                            calcHist, self.dtype, estimateMags,
                            classifyEvents, eventCorFile, utcSaves, fillZeros,
-                           batchSize=batchSize, devicePrep=devicePrep)
+                           batchSize=batchSize, devicePrep=devicePrep,
+                           staltaThreshold=staltaThreshold)
             self.histSubSpaces = Det.hist
         if useSingles:
             self.setSinglesThresholds()
@@ -886,7 +902,8 @@ class SubSpace(object):
                            calcHist, self.dtype, estimateMags,
                            classifyEvents, eventCorFile, utcSaves, fillZeros,
                            issubspace=False, batchSize=batchSize,
-                           devicePrep=devicePrep)
+                           devicePrep=devicePrep,
+                           staltaThreshold=staltaThreshold)
             self.histSingles = Det.hist
         if useSubSpaces or useSingles:
             cols = ["FREQMIN", "FREQMAX", "CORNERS", "ZEROPHASE"]

@@ -94,27 +94,40 @@ def test_fas_stalta_fallback(small_ss):
 
 def test_trigcon1_stalta_triggering(small_ss, synth_case):
     """trigCon=1 (STA/LTA of the DS) — a detex_tpu extension the reference
-    rejects. Manual per-detector STA/LTA thresholds find the planted
-    events."""
+    rejects. STA/LTA triggering has its own staltaThreshold parameter (the
+    DS Threshold column stays on the DS scale)."""
     ss, wd = small_ss
-    # DS thresholds are 0.5 from the fixture; override to STA/LTA scale
-    for sta in ss.ssStations:
-        ss.subspaces[sta]["Threshold"] = 4.0
     db = str(wd / "tc1.db")
-    try:
-        ss.detex(subspaceDB=db, trigCon=1, triggerLTATime=60,
-                 triggerSTATime=2, estimateMags=False, useSingles=False)
-        ssdf = util.loadSQLite(db, "ss_df")
-        assert ssdf is not None and len(ssdf) >= 2
-        # DS_STALTA column carries the trigger statistic
-        assert (ssdf.DS_STALTA > 4.0).all()
-        # the strongest STA/LTA triggers land on real events (high DS);
-        # weaker ones may be relative bumps in quiet noise (expected for
-        # STA/LTA triggering)
-        assert ssdf.DS.max() > 0.5
-    finally:
-        for sta in ss.ssStations:
-            ss.subspaces[sta]["Threshold"] = 0.5
+    ss.detex(subspaceDB=db, trigCon=1, triggerLTATime=60,
+             triggerSTATime=2, estimateMags=False, useSingles=False,
+             staltaThreshold=4.0)
+    ssdf = util.loadSQLite(db, "ss_df")
+    assert ssdf is not None and len(ssdf) >= 2
+    # DS_STALTA column carries the trigger statistic
+    assert (ssdf.DS_STALTA > 4.0).all()
+    # the strongest STA/LTA triggers land on real events (high DS);
+    # weaker ones may be relative bumps in quiet noise (expected for
+    # STA/LTA triggering)
+    assert ssdf.DS.max() > 0.5
+    # DS thresholds untouched by the STA/LTA run
+    for sta in ss.ssStations:
+        assert (ss.subspaces[sta].Threshold == 0.5).all()
+
+
+def test_trigcon1_requires_stalta_threshold(small_ss):
+    ss, wd = small_ss
+    with pytest.raises(Exception):
+        ss.detex(subspaceDB=str(wd / "bad1.db"), trigCon=1,
+                 triggerLTATime=60, triggerSTATime=2, useSingles=False)
+
+
+def test_multiprocess_rejected(small_ss):
+    """multiprocess=True hard-errors (reference subspace.py:1842-1845);
+    parallelism is automatic via the device mesh."""
+    ss, wd = small_ss
+    with pytest.raises(Exception):
+        ss.detex(subspaceDB=str(wd / "bad2.db"), multiprocess=True,
+                 useSingles=False)
 
 
 def test_norm_threshold_dist(small_ss):
