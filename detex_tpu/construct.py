@@ -211,63 +211,67 @@ def _loadEvents(fetcher, filt, trim, stakey, temkey, decimate, dtype,
 
 def _loadStream(fetcher, filt, trim, decimate, station, dtype, temkey,
                 stakey, enforceOrigin=False, phases=None):
-    """Load/filter all template waveforms for one station
-    (reference construct.py:852-925)."""
-    StreamDict, channelDict, stats, STlens = {}, {}, {}, {}
-    trLen = []
-    allzeros = []
-    csta = stakey[stakey.STATION == station.split(".")[1]]
-    for st, evename in fetcher.getTemData(temkey, csta, trim[0], trim[1],
-                                          returnName=True, phases=phases):
+    """
+    Load and precondition every template waveform of one station
+    (capability of reference construct.py:852-925).
+
+    Each event stream is filtered/decimated; events that are fractured,
+    missing from the template key, shorter than 20% of the station-median
+    total length, or carrying a dead (all-zero) channel are rejected with a
+    logged reason. Returns (streams, sorted names, channels, stats) dicts,
+    or four Nones when fewer than 2 events survive.
+    """
+    origin_times = {}
+    for name, time in zip(temkey.NAME, temkey.TIME):
+        origin_times.setdefault(name, time)
+    skey = stakey[stakey.STATION == station.split(".")[1]]
+    records = {}
+    for st, ev in fetcher.getTemData(temkey, skey, trim[0], trim[1],
+                                     returnName=True, phases=phases):
         st = _applyFilter(st, filt, decimate, dtype)
         if st is None or len(st) < 1:
             continue
-        tem = temkey[temkey.NAME == evename]
-        if len(tem) < 1:
-            detex_tpu.log(__name__, "%s not in template key, skipping"
-                          % evename, pri=True)
+        if ev not in origin_times:
+            detex_tpu.log(__name__, "%s not in template key, skipping" % ev,
+                          pri=True)
             continue
-        originTime = UTCDateTime(tem.iloc[0].TIME)
-        Nc = len(set(x.stats.channel for x in st))
-        if Nc != len(st) or len(st) == 0:
+        chans = [tr.stats.channel for tr in st]
+        if len(set(chans)) != len(st) or not len(st):
             detex_tpu.log(__name__, "%s on %s is fractured or channels are "
-                          "missing, skipping" % (evename, station), pri=True)
+                          "missing, skipping" % (ev, station), pri=True)
             continue
         if enforceOrigin:
-            st.trim(starttime=originTime, pad=True, fill_value=0.0)
-        StreamDict[evename] = st
-        channelDict[evename] = [x.stats.channel for x in st]
-        pros = st[0].stats.processing
-        sr = st[0].stats.sampling_rate
-        start = st[0].stats.starttime.timestamp
-        stats[evename] = {"processing": pros, "sampling_rate": sr,
-                          "starttime": start, "Nc": Nc}
-        totlen = int(np.sum([len(x) for x in st]))
-        if any(not np.any(x.data) for x in st):
-            allzeros.append(evename)
-        trLen.append(totlen)
-        STlens[evename] = totlen
-    if len(trLen) == 0:
+            st.trim(starttime=UTCDateTime(origin_times[ev]), pad=True,
+                    fill_value=0.0)
+        hdr = st[0].stats
+        records[ev] = dict(
+            st=st, channels=chans,
+            stats={"processing": hdr.processing,
+                   "sampling_rate": hdr.sampling_rate,
+                   "starttime": hdr.starttime.timestamp,
+                   "Nc": len(chans)},
+            nsamp=sum(len(tr.data) for tr in st),
+            dead=any(not np.any(tr.data) for tr in st))
+    if not records:
         return None, None, None, None
-    mlen = np.median(trLen)
-    for key in [x for x in list(StreamDict) if STlens[x] < mlen * .2]:
-        detex_tpu.log(__name__, "%s is fractured or missing data, removing"
-                      % key, level="warning", pri=True)
-        StreamDict.pop(key, None)
-        channelDict.pop(key, None)
-        stats.pop(key, None)
-    for key in set(allzeros):
-        detex_tpu.log(__name__, "%s has an all-zero channel, deleting" % key,
-                      level="warning", pri=True)
-        StreamDict.pop(key, None)
-        channelDict.pop(key, None)
-        stats.pop(key, None)
-    if len(StreamDict) < 2:
+    median_len = np.median([r["nsamp"] for r in records.values()])
+    for ev in list(records):
+        if records[ev]["nsamp"] < 0.2 * median_len:
+            detex_tpu.log(__name__, "%s is fractured or missing data, "
+                          "removing" % ev, level="warning", pri=True)
+            del records[ev]
+        elif records[ev]["dead"]:
+            detex_tpu.log(__name__, "%s has an all-zero channel, deleting"
+                          % ev, level="warning", pri=True)
+            del records[ev]
+    if len(records) < 2:
         detex_tpu.log(__name__, "Less than 2 events survived preprocessing "
                       "for station %s" % station, level="warning", pri=True)
         return None, None, None, None
-    evlist = sorted(StreamDict.keys())
-    return StreamDict, evlist, channelDict, stats
+    evlist = sorted(records)
+    return ({e: records[e]["st"] for e in evlist}, evlist,
+            {e: records[e]["channels"] for e in evlist},
+            {e: records[e]["stats"] for e in evlist})
 
 
 def _testStreamLengths(TRDF, ind):

@@ -257,7 +257,8 @@ class DataFetcher(object):
 
 
 def _loadDirectoryData(fet, start, end, net, sta, chan, loc):
-    """Load data from an indexed directory (reference getdata.py:614-669)."""
+    """Load data from an indexed directory (capability of reference
+    getdata.py:614-669)."""
     t1 = UTCDateTime(start).timestamp
     t2 = UTCDateTime(end).timestamp
     buf = 3 * fet.conDatDuration
@@ -268,13 +269,17 @@ def _loadDirectoryData(fet, start, end, net, sta, chan, loc):
                       % (UTCDateTime(t1), UTCDateTime(t2), sta,
                          fet.directoryName), level="warning", pri=False)
         return None
-    # discard files with no (>=10%) overlap with the request
-    tra = t2 - t1
-    con1 = ((dfind.Starttime <= t1) & (dfind.Endtime - tra * .1 < t1) &
-            (dfind.Starttime < t2) & (dfind.Endtime < t2))
-    con2 = ((dfind.Starttime > t1) & (dfind.Endtime > t1) &
-            (dfind.Starttime + tra * .1 > t2) & (dfind.Endtime >= t2))
-    df = dfind[~(con1 | con2)]
+    # Drop boundary files that barely poke into the request window: a file
+    # reaching back before t1 must cover at least 10% of the request past
+    # t1 (unless it also spans beyond t2), and a file reaching past t2 must
+    # start at least 10% of the request before t2. Interior files always
+    # stay, whatever their length.
+    span = t2 - t1
+    head_sliver = ((dfind.Starttime <= t1) & (dfind.Endtime < t2) &
+                   (dfind.Endtime - t1 < 0.1 * span))
+    tail_sliver = ((dfind.Endtime >= t2) & (dfind.Starttime > t1) &
+                   (t2 - dfind.Starttime < 0.1 * span))
+    df = dfind[~(head_sliver | tail_sliver)]
     if len(df) < 1:
         return None
     st = Stream()
@@ -447,59 +452,54 @@ getAllData = makeDataDirectories  # legacy alias (reference getdata.py:1042)
 
 def indexDirectory(dirPath):
     """
-    Create ``.index.db`` for a waveform directory: table 'ind' with quality
-    stats per file and 'indkey' holding the path-component dictionary
-    (reference getdata.py:918-986).
+    Create ``.index.db`` for a waveform directory — same two-table schema
+    as the reference (getdata.py:918-986) so existing Detex directories
+    stay readable: 'ind' holds one row per readable file (quality stats +
+    the file's path encoded as per-depth integer ids), 'indkey' holds the
+    per-depth path-component vocabulary (row = depth, column col_<id>).
     """
     from detex_tpu import util
-    columns = ["Path", "FileName", "Starttime", "Endtime", "Gaps", "Nc",
-               "Nt", "Duration", "Station"]
-    rows = []
     detex_tpu.log(__name__, "indexing, or updating index for %s" % dirPath,
                   pri=True)
-    pathList = []
-    for dirpath, dirname, filenames in os.walk(dirPath):
-        dirList = os.path.abspath(dirpath).split(os.path.sep)
-        while len(dirList) > len(pathList):
-            pathList.append([])
-        for ind, value in enumerate(dirList):
-            if value not in pathList[ind]:
-                pathList[ind].append(value)
+    vocab = []  # vocab[depth] = {component: id}, insertion-ordered
+
+    def encode(parts):
+        ids = []
+        for depth, part in enumerate(parts):
+            if depth == len(vocab):
+                vocab.append({})
+            lookup = vocab[depth]
+            ids.append(lookup.setdefault(part, len(lookup)))
+        return json.dumps(ids)
+
+    rows = []
+    for dirpath, _dirnames, filenames in os.walk(dirPath):
+        parts = os.path.abspath(dirpath).split(os.path.sep)
         for fname in sorted(filenames):
             if fname.startswith("."):
                 continue
-            fullpath = os.path.join(os.path.sep.join(dirList), fname)
-            qualDict = _checkQuality(fullpath)
-            if qualDict is None:
+            fullpath = os.path.join(os.path.sep.join(parts), fname)
+            quality = _checkQuality(fullpath)
+            if quality is None:
                 detex_tpu.log(__name__, "failed to read %s, skipping"
                               % fullpath, level="warning", pri=True)
                 continue
-            pathInts = [pathList[num].index(x)
-                        for num, x in enumerate(dirList)]
-            row = {"Path": json.dumps(pathInts), "FileName": fname}
-            row.update(qualDict)
-            rows.append(row)
-    if len(pathList) < 1 or len(rows) < 1:
+            rows.append(dict(Path=encode(parts), FileName=fname, **quality))
+    if not rows:
         detex_tpu.log(__name__, "No readable files found in %s" % dirPath,
                       level="error")
+    columns = ["Path", "FileName", "Starttime", "Endtime", "Gaps", "Nc",
+               "Nt", "Duration", "Station"]
     df = pd.DataFrame(rows, columns=columns)
-    dfInd = _createIndexDF(pathList)
+    width = max(len(v) for v in vocab)
+    key = pd.DataFrame(
+        [list(v) + [""] * (width - len(v)) for v in vocab],
+        columns=["col_%d" % i for i in range(width)])
     dbPath = os.path.join(dirPath, ".index.db")
     if os.path.exists(dbPath):
         os.remove(dbPath)
     util.saveSQLite(df, dbPath, "ind")
-    util.saveSQLite(dfInd, dbPath, "indkey")
-
-
-def _createIndexDF(pathList):
-    colLength = max(len(x) for x in pathList)
-    cols = ["col_" + str(x) for x in range(colLength)]
-    df = pd.DataFrame(index=range(len(pathList)), columns=cols)
-    df = df.fillna(value="")
-    for ind1, pl in enumerate(pathList):
-        for ind2, item in enumerate(pl):
-            df.loc[ind1, "col_" + str(ind2)] = item
-    return df
+    util.saveSQLite(key, dbPath, "indkey")
 
 
 def _checkQuality(stPath):
@@ -519,29 +519,28 @@ def _checkQuality(stPath):
 
 
 def _loadIndexDb(dirPath, station, t1, t2):
+    """Query the 'ind' table for one station/time window and decode each
+    row's integer-encoded Path against the 'indkey' vocabulary."""
     from detex_tpu import util
-    indexFile = glob.glob(os.path.join(dirPath, ".index.db"))
-    if len(indexFile) < 1:
+    dbPath = os.path.join(dirPath, ".index.db")
+    if not os.path.exists(dbPath):
         detex_tpu.log(__name__, "%s is not currently indexed, indexing now"
                       % dirPath, pri=True)
         indexDirectory(dirPath)
-        indexFile = glob.glob(os.path.join(dirPath, ".index.db"))
     sql = ('SELECT * FROM ind WHERE Starttime>=%f AND Endtime<=%f AND '
            'Station="%s"' % (t1, t2, station))
-    df = util.loadSQLite(indexFile[0], "ind", sql=sql, silent=False)
+    df = util.loadSQLite(dbPath, "ind", sql=sql, silent=False)
     if df is None or len(df) < 1:
         return None
-    dfin = util.loadSQLite(indexFile[0], "indkey", convertNumeric=False)
-    dfin.columns = [int(x.split("_")[1]) for x in dfin.columns]
-    df["Path"] = [_associatePathList(x, dfin) for x in df["Path"]]
-    df = df.sort_values(by="FileName").reset_index(drop=True)
-    return df
+    key = util.loadSQLite(dbPath, "indkey", convertNumeric=False)
+    order = sorted(key.columns, key=lambda c: int(c.split("_")[1]))
+    vocab = key[order].values  # [depth, id] -> path component
+    df["Path"] = [_decodePath(p, vocab) for p in df["Path"]]
+    return df.sort_values(by="FileName").reset_index(drop=True)
 
 
-def _associatePathList(pathList, dfin):
-    pl = json.loads(pathList)
-    pat = []
-    for num, p in enumerate(pl):
-        pat.append(dfin.loc[num, p])
-    return os.path.sep.join(pat) if pat and pat[0] == "" else \
-        os.path.join(*pat)
+def _decodePath(encoded, vocab):
+    parts = [vocab[depth][i] for depth, i in enumerate(json.loads(encoded))]
+    if parts and parts[0] == "":  # absolute path: leading empty component
+        return os.path.sep.join(parts)
+    return os.path.join(*parts)

@@ -255,7 +255,7 @@ class _SSDetex(object):
                 stalta_vec = None
                 if not self.fillZeros and self.triggerLTATime:
                     try:
-                        stalta_vec = np.asarray(_stalta.ds_stalta(
+                        stalta_vec = np.asarray(self._dsStalta(
                             dsvec, self.triggerLTATime * sr,
                             self.triggerSTATime * sr))
                     except Exception:
@@ -366,9 +366,13 @@ class _SSDetex(object):
                             mesh=mesh)
                 hist = np.asarray(hist)
                 maxds = np.asarray(maxds)
-                # devicePrep gate margin (see __init__): triggered chunks
-                # are re-verified host-side, so gate a touch below threshold
+                # gate margins: triggered chunks are re-verified host-side,
+                # so gating a touch below threshold only costs a recompute.
+                # devicePrep -> spectral-vs-SOS filter discrepancy;
+                # dtype='double' -> f32 device scan vs f64 exact recompute.
                 gate_eps = self.devicePrepEps if self.devicePrep else 0.0
+                if self.dtype == "double":
+                    gate_eps = max(gate_eps, 1e-4)
                 for bi, (payload, sr, tstamp) in enumerate(batch):
                     MPcon = None
                     for si, name in enumerate(bank["names"]):
@@ -385,12 +389,17 @@ class _SSDetex(object):
                             else:
                                 MPcon = payload
                         # exact-parity slow path for the triggered chunk
-                        dsvec = _ds.run_bank(MPcon, bank, nc)[si]
+                        if self.dtype == "double":
+                            dsvec = _ds.ds_numpy(
+                                np.asarray(MPcon, np.float64),
+                                det[name]["U"], nc)
+                        else:
+                            dsvec = _ds.run_bank(MPcon, bank, nc)[si]
                         if dsvec.max() > 1.1:
                             dsvec = np.where(np.isfinite(dsvec), dsvec, 0.0)
                         stalta_vec = None
                         if not self.fillZeros and self.triggerLTATime:
-                            stalta_vec = np.asarray(_stalta.ds_stalta(
+                            stalta_vec = np.asarray(self._dsStalta(
                                 dsvec, self.triggerLTATime * sr,
                                 self.triggerSTATime * sr))
                         Sar = self._createCoeffArray(
@@ -490,19 +499,35 @@ class _SSDetex(object):
                           level="warning")
             return None
         dsdict = {}
-        for bank in banks:
+        if self.dtype == "double":
+            # exact float64 path (reference numerics end to end)
+            x64 = np.asarray(MPcon, np.float64)
             with _prof.stage("detect.ds_scan"):
-                ds = _ds.run_bank(MPcon, bank, nc)
-            for i, name in enumerate(bank["names"]):
-                vec = ds[i]
-                if len(vec) < 10:
-                    detex_tpu.log(__name__, "data block on %s too short, "
-                                  "skipping" % sta, level="warning")
-                    return None
-                if vec.max() > 1.1:  # zero infs (reference detect.py:277-281)
-                    vec = np.where(np.isfinite(vec), vec, 0.0)
-                dsdict[name] = vec
+                vec_of = {name: _ds.ds_numpy(x64, det[name]["U"], nc)
+                          for name in det}
+        else:
+            vec_of = {}
+            for bank in banks:
+                with _prof.stage("detect.ds_scan"):
+                    ds = _ds.run_bank(MPcon, bank, nc)
+                for i, name in enumerate(bank["names"]):
+                    vec_of[name] = ds[i]
+        for name, vec in vec_of.items():
+            if len(vec) < 10:
+                detex_tpu.log(__name__, "data block on %s too short, "
+                              "skipping" % sta, level="warning")
+                return None
+            if vec.max() > 1.1:  # zero infs (reference detect.py:277-281)
+                vec = np.where(np.isfinite(vec), vec, 0.0)
+            dsdict[name] = vec
         return dsdict, MPcon, sr, tstamp
+
+    def _dsStalta(self, dsvec, lta_samps, sta_samps):
+        """STA/LTA of the DS: device kernel for f32, host float64 twin on
+        the dtype='double' exact path."""
+        if self.dtype == "double":
+            return _stalta.ds_stalta_np(dsvec, lta_samps, sta_samps)
+        return _stalta.ds_stalta(dsvec, lta_samps, sta_samps)
 
     def _trigThresholds(self, threshold):
         """Per-detector *trigger* thresholds: the DS Threshold column for
@@ -545,10 +570,17 @@ class _SSDetex(object):
         else:
             ceval = stalta_vec
         buff_samps = int(20 * sr)  # reference buff=20 s (detect.py:545)
-        idx, count = _triggers.extract_triggers(
-            ceval, float(threshold[name]), buff_samps,
-            max_triggers=MAX_TRIGGERS)
-        idx = np.asarray(idx)[: int(count)]
+        if self.dtype == "double":
+            # float64 host extraction (no f32 cast of the DS vector)
+            idx = _triggers.extract_triggers_np(
+                ceval, float(threshold[name]), buff_samps,
+                max_triggers=MAX_TRIGGERS)
+            count = len(idx)
+        else:
+            idx, count = _triggers.extract_triggers(
+                ceval, float(threshold[name]), buff_samps,
+                max_triggers=MAX_TRIGGERS)
+            idx = np.asarray(idx)[: int(count)]
         if int(count) >= MAX_TRIGGERS:
             detex_tpu.log(__name__, "over %d events found in single data "
                           "block on %s for %s" % (MAX_TRIGGERS, sta, name),
@@ -604,8 +636,18 @@ class _SSDetex(object):
                               "detection at %s on station %s and %s"
                               % (times, sta, name), level="warning")
                 return np.nan, np.nan, SNR
-            ecor = _xcorr.normcorr_bank(np.asarray(ewf), ConDat)[:, 0]
-            eventCors = np.asarray(ecor)
+            if self.dtype == "double":
+                # host float64 single-lag normalized correlation (the
+                # dtype='double' exact path; same math as normcorr_bank)
+                W = np.asarray(ewf, np.float64)
+                wflen = W.shape[1]
+                NT = (W - W.mean(axis=1, keepdims=True)) / \
+                    (W.std(axis=1, keepdims=True) * wflen)
+                eventCors = (NT @ ConDat - NT.sum(axis=1) * ConDat.mean()) \
+                    / ConDat.std()
+            else:
+                ecor = _xcorr.normcorr_bank(np.asarray(ewf), ConDat)[:, 0]
+                eventCors = np.asarray(ecor)
             peMag = _estPEMag(mags, proEn, eventCors, touse)
             stMag = _estSTDMag(mags, ConDat, ewf, eventCors, touse)
         else:
@@ -659,25 +701,20 @@ def _getSampleRates(df):
 
 
 def _estPEMag(mags, proEn, eventCors, touse):
-    """Projected-energy magnitude, CC^2-weighted
-    (reference detect.py:637-649)."""
-    ma = 0.0
-    weDenom = np.sum(np.square(eventCors[touse]))
-    for x in range(len(proEn)):
-        if mags[x] > -15:
-            we = np.square(eventCors[x])
-            lr = np.log10(np.sqrt(proEn[x]))
-            ma += (mags[x] + lr) * we
-    return ma / weDenom
+    """CC^2-weighted projected-energy magnitude, Chambers et al. 2015
+    (capability of reference detect.py:637-649; vectorized): each training
+    event estimates mag_i + log10(sqrt(proEn_i)); estimates are averaged
+    with squared-correlation weights over the usable (mag > -15) events."""
+    w = np.square(np.asarray(eventCors))[touse]
+    est = np.asarray(mags)[touse] + np.log10(np.sqrt(
+        np.asarray(proEn)[touse]))
+    return float(np.sum(est * w) / np.sum(w))
 
 
 def _estSTDMag(mags, ConDat, ewf, eventCors, touse):
-    """Std-ratio magnitude, CC^2-weighted (reference detect.py:652-664)."""
-    ma = 0.0
-    weDenom = np.sum(np.square(eventCors[touse]))
-    for x in range(len(ewf)):
-        if mags[x] > -15:
-            we = np.square(eventCors[x])
-            lr = np.log10(np.std(ConDat) / np.std(ewf[x]))
-            ma += (mags[x] + lr) * we
-    return ma / weDenom
+    """CC^2-weighted std-ratio magnitude (capability of reference
+    detect.py:652-664; vectorized like _estPEMag)."""
+    w = np.square(np.asarray(eventCors))[touse]
+    ratio = np.std(ConDat) / np.std(np.asarray(ewf), axis=1)[touse]
+    est = np.asarray(mags)[touse] + np.log10(ratio)
+    return float(np.sum(est * w) / np.sum(w))

@@ -65,6 +65,31 @@ def ds_stalta(c, lta_samps, sta_samps):
     return _stalta_kernel(c, sta, lta)
 
 
+def _centered_mean_np(x, n):
+    """float64 centered rolling mean with the same labeling convention as
+    rolling.rolling_mean_centered (pandas center=True); NaN edges."""
+    x = np.asarray(x, np.float64)
+    L = len(x)
+    c = np.cumsum(np.insert(x, 0, 0.0))
+    mu = (c[n:] - c[:-n]) / n
+    out = np.full(L, np.nan)
+    start = (n - 1) - ((n - 1) // 2)
+    out[start:start + len(mu)] = mu
+    return out
+
+
+def ds_stalta_np(c, lta_samps, sta_samps):
+    """Host float64 twin of ds_stalta, used by the dtype='double' exact
+    path (no device f32 cast)."""
+    ab = np.abs(np.asarray(c, np.float64))
+    sta = max(int(sta_samps), 1)
+    lta = max(int(lta_samps), 1)
+    sta_arr = ab if sta <= 1 else _centered_mean_np(ab, sta)
+    lta_arr = _centered_mean_np(ab, lta)
+    return (_replace_nan_with_edges(sta_arr) /
+            _replace_nan_with_edges(lta_arr))
+
+
 def classic_sta_lta(data, nsta, nlta):
     """
     Classic STA/LTA (numpy, matching obspy.signal.trigger.classic_sta_lta):

@@ -17,8 +17,32 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 DEFAULT_MAX_TRIGGERS = 512
+
+
+def extract_triggers_np(ceval, threshold, buff_samps,
+                        max_triggers=DEFAULT_MAX_TRIGGERS):
+    """
+    Host float64 twin of extract_triggers, used by the dtype='double'
+    exact path: identical argmax/suppression semantics without the device
+    f32 cast. Returns int64 indices in emission order.
+    """
+    c = np.array(ceval, dtype=np.float64, copy=True)
+    L = len(c)
+    out = []
+    while len(out) < max_triggers and L and np.max(c) >= threshold:
+        i = int(np.argmax(c))
+        out.append(i)
+        if i < buff_samps + 1:
+            lo, hi = 0, i + buff_samps
+        elif i > L - buff_samps:
+            lo, hi = i - buff_samps, L
+        else:
+            lo, hi = i - buff_samps, i + buff_samps
+        c[lo:hi] = 0.0
+    return np.asarray(out, np.int64)
 
 
 @partial(jax.jit, static_argnames=("buff_samps", "max_triggers"))

@@ -52,9 +52,10 @@ def check_data_quality(directory=getdata.conDirDefault, min_duration=0.9,
     if df is None or len(df) < 1:
         detex_tpu.log(__name__, "no indexed files in %s" % directory,
                       level="error")
-    dfin = util.loadSQLite(dbPath, "indkey", convertNumeric=False)
-    dfin.columns = [int(str(x).split("_")[1]) for x in dfin.columns]
-    df["Path"] = [getdata._associatePathList(x, dfin) for x in df["Path"]]
+    key = util.loadSQLite(dbPath, "indkey", convertNumeric=False)
+    order = sorted(key.columns, key=lambda c: int(str(c).split("_")[1]))
+    vocab = key[order].values
+    df["Path"] = [getdata._decodePath(x, vocab) for x in df["Path"]]
 
     med_dur = float(np.median(df.Duration))
     df["duration_ok"] = df.Duration >= min_duration * med_dur

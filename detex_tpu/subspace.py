@@ -12,6 +12,7 @@ import json
 import numbers
 import os
 import pickle
+from functools import partial
 
 import numpy as np
 import pandas as pd
@@ -182,68 +183,52 @@ class Cluster(object):
         self.updateReqCC(ccReq)
 
     def updateReqCC(self, newccReq):
-        """Re-form clusters at a new required CC without re-correlating
-        (reference subspace.py:305-346)."""
+        """
+        Re-form clusters at a new required CC without re-correlating
+        (capability of reference subspace.py:305-346).
+
+        detex_tpu derivation: the flat clusters at dissimilarity
+        ``1 - ccReq`` come straight from ``scipy.cluster.hierarchy.fcluster``
+        on the stored linkage. Clusters are ordered by the height of their
+        root merge, tallest first, so detector numbering matches the
+        reference's subset-cover walk over the link table (which peeled
+        clusters off in descending top-link order).
+        """
         if newccReq < 0. or newccReq > 1.:
             detex_tpu.log(__name__, "Parameter ccReq must be between 0 and 1",
                           level="error")
         self.ccReq = newccReq
-        self.dflink, serclus = self._makeDFLINK(truncate=False)
-        dfcl = self.dflink[self.dflink.disSim <= 1 - self.ccReq]
-        dfcl = dfcl.sort_values(by="disSim", ascending=False)
-        dfcl = dfcl.reset_index(drop=True)
-        dftemp = dfcl.copy()
-        clustlinks = {}
-        clustEvents = {}
-        clnum = 0
-        while len(dftemp) > 0:
-            ser = dftemp.iloc[0]
-            ndf = dftemp[[set(x).issubset(ser.II) for x in dftemp.II]]
-            clustlinks[clnum] = ndf.clust
-            valset = set(y for x in ndf.II.values for y in x)
-            clustEvents[clnum] = list(valset)
-            dftemp = dftemp[~dftemp.index.isin(ndf.index)]
-            clnum += 1
-        self.clustlinks = clustlinks
-        self.clusts = [[self.key[y] for y in clustEvents[x]]
-                       for x in clustEvents]
-        keyset = set(self.key)
-        clustset = set(y for x in self.clusts for y in x)
-        self.singles = sorted(keyset.difference(clustset))
-        self.clustcount = int(np.sum([len(x) for x in self.clusts]))
-        detex_tpu.log(__name__, "ccReq for station %s updated to ccReq=%1.3f"
-                      % (self.station, newccReq), pri=True)
-
-    def _makeDFLINK(self, truncate=True):
-        """Linkage DataFrame with cluster membership lists
-        (reference subspace.py:385-412)."""
-        N = len(self.link)
-        link = np.append(self.link,
-                         np.arange(N + 1, N + N + 1).reshape(N, 1), 1)
-        if truncate:
-            linkup = link[link[:, 2] <= 1 - self.ccReq]
-        else:
-            linkup = link
-        T = fcluster(link[:, 0:4], 1 - self.ccReq, criterion="distance")
-        serclus = pd.Series(T)
-        clusdict = pd.Series([np.array([x]) for x in np.arange(0, N + 1)],
-                             index=np.arange(0, N + 1))
-        for a in range(len(linkup)):
-            clusdict[int(linkup[a, 4])] = np.append(
-                clusdict[int(linkup[a, 0])], clusdict[int(linkup[a, 1])])
-        columns = ["i1", "i2", "disSim", "num", "clust"]
-        dflink = pd.DataFrame(linkup, columns=columns)
-        dflink = dflink.astype(object)
-        if len(dflink) > 0:
-            dflink["II"] = [list() for _ in range(len(dflink))]
-        else:
+        height = 1. - newccReq
+        labels = fcluster(self.link, height, criterion="distance")
+        members = {}
+        for leaf, lab in enumerate(labels):
+            members.setdefault(int(lab), []).append(leaf)
+        # root-merge height per flat cluster: linkage rows come in
+        # non-decreasing height order, so the last sub-threshold merge seen
+        # for a label is its root. Track one representative leaf per
+        # internal node to map a merge row to its flat label.
+        n_leaf = len(self.key)
+        rep = {}
+        root_height = {}
+        for i, row in enumerate(np.asarray(self.link)):
+            a = int(row[0])
+            ra = rep[a] if a >= n_leaf else a
+            rep[n_leaf + i] = ra
+            if row[2] <= height:
+                root_height[int(labels[ra])] = float(row[2])
+        grouped = sorted(
+            (lab for lab, mem in members.items() if len(mem) > 1),
+            key=lambda lab: (-root_height[lab], members[lab][0]))
+        if not grouped:
             detex_tpu.log(__name__, "No events cluster with corr coef = "
                           "%1.3f" % self.ccReq, pri=True)
-        for a in dflink.iterrows():
-            ar1 = list(np.array(clusdict[int(a[1].i1)]))
-            ar2 = list(np.array(clusdict[int(a[1].i2)]))
-            dflink.at[a[0], "II"] = ar1 + ar2
-        return dflink, serclus
+        self.clusts = [[self.key[i] for i in members[lab]]
+                       for lab in grouped]
+        self.singles = sorted(self.key[mem[0]]
+                              for mem in members.values() if len(mem) == 1)
+        self.clustcount = sum(len(c) for c in self.clusts)
+        detex_tpu.log(__name__, "ccReq for station %s updated to ccReq=%1.3f"
+                      % (self.station, newccReq), pri=True)
 
     # -- plots ------------------------------------------------------------
     def dendro(self, hideEventLabels=True, show=True, saveName=False,
@@ -411,7 +396,8 @@ class SubSpace(object):
                                   % (ind, station), level="warning")
                     self._drop_subspace(station, ind)
                     continue
-                U, svals = _svd.svd_basis(arr, normalize=normalize)
+                U, svals = _svd.svd_basis(arr, normalize=normalize,
+                                          dtype=self.dtype)
                 svdDict = {float(sv): U[:, i] for i, sv in enumerate(svals)}
                 self.subspaces[station].at[ind, "SVD"] = svdDict
                 fracEnergy = self._getFracEnergy(ind, row, svdDict, U)
@@ -483,7 +469,7 @@ class SubSpace(object):
                 aliwf = aliwf[row.SampleTrims["Starttime"]:
                               row.SampleTrims["Endtime"]]
             wfs.append(aliwf)
-        cum = _svd.frac_energy(U, np.vstack(wfs))
+        cum = _svd.frac_energy(U, np.vstack(wfs), dtype=self.dtype)
         for i, key in enumerate(keys):
             fracDict[key] = cum[i]
         fracDict["Average"] = np.average(cum, axis=0)
@@ -582,34 +568,46 @@ class SubSpace(object):
                                       level="warning")
                 self.singles[sta].at[ind, "Threshold"] = th
 
-    def _approxThld(self, beta_a, beta_b, sta, row, target, numint, numloops,
-                    backupThreshold):
-        """Forward grid search replacing a failing beta.isf
-        (reference subspace.py:1110-1140, scipy bug #4677)."""
-        startVal, stopVal = 0, 1
-        loops = 0
-        while loops < numloops:
-            Xs = np.linspace(startVal, stopVal, numint)
-            pfs = scipy.stats.beta.sf(Xs, beta_a, beta_b)
-            resids = np.abs(pfs - target)
-            minind = int(resids.argmin())
-            if minind == 0 or minind == numint - 1:
-                if backupThreshold is None:
-                    detex_tpu.log(__name__, "Grid search for threshold "
-                                  "failing for %s on %s, set it manually or "
-                                  "use a backupThreshold"
-                                  % (sta, row.Name), level="error",
-                                  e=ValueError)
-                detex_tpu.log(__name__, "Grid search for threshold failing "
-                              "for %s on %s, using backup %.2f"
-                              % (sta, row.Name, backupThreshold),
-                              level="warning", pri=True)
-                return backupThreshold, target
-            bestPf = pfs[minind]
-            bestX = Xs[minind]
-            startVal, stopVal = Xs[minind - 1], Xs[minind + 1]
-            loops += 1
-        return bestX, bestPf
+    def _approxThld(self, beta_a, beta_b, sta, row, target, numint=None,
+                    numloops=None, backupThreshold=None):
+        """
+        Threshold when ``beta.isf`` misbehaves (scipy bug #4677 makes isf
+        return ~1 for extreme tail probabilities; the reference worked
+        around it with a 3-level grid search, subspace.py:1110-1140).
+
+        detex_tpu solves sf(x) = Pf directly: log-survival bisection via
+        ``beta.logsf`` — monotone, well-conditioned down to Pf ~ 1e-300.
+        Falls back to ``backupThreshold`` (or raises) when the fitted null
+        cannot reach the target false-alarm rate inside (0, 1).
+        """
+        logsf = partial(scipy.stats.beta.logsf, a=beta_a, b=beta_b)
+        logt = np.log(target)
+        lo, hi = 0.0, 1.0
+        ok = np.isfinite(logsf(x=0.5)) and logsf(x=lo) > logt
+        if ok:
+            for _ in range(200):  # bisection to ~1e-60 interval width
+                mid = 0.5 * (lo + hi)
+                v = logsf(x=mid)
+                if not np.isfinite(v) or v > logt:
+                    lo = mid
+                else:
+                    hi = mid
+                if hi - lo < 1e-12 * max(hi, 1e-12):
+                    break
+            th = 0.5 * (lo + hi)
+            v = logsf(x=th)
+            # accept only a genuine interior root (sf(th) within 2x of Pf);
+            # a degenerate fit drives the bisection into the x=1 boundary
+            if 0.0 < th < 1.0 and np.isfinite(v) and abs(v - logt) < 0.7:
+                return th, float(np.exp(v))
+        if backupThreshold is None:
+            detex_tpu.log(__name__, "Threshold root-find failing for %s on "
+                          "%s, set it manually or use a backupThreshold"
+                          % (sta, row.Name), level="error", e=ValueError)
+        detex_tpu.log(__name__, "Threshold root-find failing for %s on %s, "
+                      "using backup %.2f" % (sta, row.Name, backupThreshold),
+                      level="warning", pri=True)
+        return backupThreshold, target
 
     # ------------------------------------------------------------------
     # Picks
@@ -708,88 +706,94 @@ class SubSpace(object):
 
     def _getSampTrim(self, eves, starttimes, Nc, Sr, pk, defaultDuration,
                      fun, sta, num, DF, row):
-        """Compute group sample trims (reference subspace.py:1554-1615)."""
-        startsamps, stopsamps, secduration = [], [], []
+        """
+        Group sample trim from phase picks (capability of reference
+        subspace.py:1554-1615): per event the earliest pick opens the
+        window (clamped into the trace) and ``defaultDuration`` — or the
+        pick span — closes it; the group trim is ``fun`` over the per-event
+        windows, snapped down to a channel-aligned multiplexed sample.
+        Aborts (None) if any pick falls beyond its trace.
+        """
+        samps_per_sec = Nc * Sr
+        waveforms = getattr(row, "MPtd", None)
+        if not isinstance(waveforms, dict):
+            waveforms = row.AlignedTD
+        first_pick = pk.groupby("Event").TimeStamp.min()
+        last_pick = pk.groupby("Event").TimeStamp.max()
+        stats = DF.at[num, "Stats"]
+        windows = []  # (start_samp, stop_samp, duration_sec) per event
         for ev in eves:
-            p = pk[pk.Event == ev]
-            if len(p) < 1:
+            if ev not in first_pick.index:
                 continue
-            start = p.TimeStamp.min()
-            startsampsEve = (start - starttimes[ev]) * (Nc * Sr)
-            try:
-                len_test = len(row.MPtd[ev]) < startsampsEve
-            except (AttributeError, KeyError, TypeError):
-                len_test = len(row.AlignedTD[ev]) < startsampsEve
-            if len_test:
+            t_open = float(first_pick[ev])
+            trace_t0 = starttimes[ev]
+            open_samp = (t_open - trace_t0) * samps_per_sec
+            wf = waveforms.get(ev)
+            if wf is None:
+                wf = row.AlignedTD[ev]
+            if open_samp > len(wf):
                 detex_tpu.log(__name__, "Start samples for %s on %s exceed "
                               "available data, skipping attaching pick"
                               % (ev, sta), level="warning")
                 return None
-            if startsampsEve < 0:
-                startsampsEve = 0
-                start = starttimes[ev]
+            if open_samp < 0:
                 detex_tpu.log(__name__, "Start time in phase file < 0 for "
                               "event %s" % ev, level="warning", pri=False)
-            if defaultDuration:
-                stop = start + defaultDuration
-                secduration.append(defaultDuration)
-            else:
-                stop = p.TimeStamp.max()
-                secduration.append(stop - start)
-            assert stop > start
-            assert stop > starttimes[ev]
-            endsampsEve = (stop - starttimes[ev]) * (Nc * Sr)
-            startsamps.append(startsampsEve)
-            stopsamps.append(endsampsEve)
-            otime = DF.at[num, "Stats"][ev]["origintime"]
-            DF.at[num, "Stats"][ev]["Starttime"] = start
-            DF.at[num, "Stats"][ev]["offset"] = start - otime
-        if len(startsamps) > 0:
-            sSamps = int(fun(startsamps))
-            rSSamps = sSamps - sSamps % Nc
-            eSamps = int(fun(stopsamps))
-            rESamps = eSamps - eSamps % Nc
-            dursec = int(fun(secduration))
-            return {"Starttime": rSSamps, "Endtime": rESamps,
-                    "DurationSeconds": dursec}
-        return None
+                open_samp, t_open = 0.0, trace_t0
+            t_close = (t_open + defaultDuration if defaultDuration
+                       else float(last_pick[ev]))
+            assert t_close > t_open and t_close > trace_t0
+            windows.append((open_samp, (t_close - trace_t0) * samps_per_sec,
+                            t_close - t_open))
+            stats[ev]["Starttime"] = t_open
+            stats[ev]["offset"] = t_open - stats[ev]["origintime"]
+        if not windows:
+            return None
+
+        def snap(vals):  # channel-aligned multiplexed sample
+            s = int(fun(vals))
+            return s - s % Nc
+
+        opens, closes, durations = zip(*windows)
+        return {"Starttime": snap(opens), "Endtime": snap(closes),
+                "DurationSeconds": int(fun(durations))}
 
     def _getStats(self, row):
-        """Common sampling rate/Nc/starttimes for an event group
-        (reference subspace.py:1617-1634)."""
+        """Common sampling rate / channel count / per-event start times of
+        an event group (capability of reference subspace.py:1617-1634)."""
         eves = list(row.Events)
-        sr = [np.round(row.Stats[x]["sampling_rate"]) for x in eves]
-        if len(set(sr)) != 1:
+        rates = {float(np.round(row.Stats[e]["sampling_rate"]))
+                 for e in eves}
+        if len(rates) != 1:
             detex_tpu.log(__name__, "Events on %s have different sampling "
                           "rates" % row.Station, level="error")
-        Nc = [row.Stats[x]["Nc"] for x in eves]
-        if len(set(Nc)) != 1:
+        chans = {row.Stats[e]["Nc"] for e in eves}
+        if len(chans) != 1:
             detex_tpu.log(__name__, "Events on %s do not have the same "
                           "channels" % row.Station, level="error")
-        starttimes = {x: row.Stats[x]["starttime"] for x in eves}
-        return eves, starttimes, list(set(Nc))[0], list(set(sr))[0]
+        starttimes = {e: row.Stats[e]["starttime"] for e in eves}
+        return eves, starttimes, chans.pop(), rates.pop()
 
     def _updateOffsets(self):
-        """Recompute offsets with outlier rejection
-        (reference subspace.py:1443-1459)."""
+        """Recompute robust per-detector offsets (capability of reference
+        subspace.py:1443-1459)."""
         for trdfDict in (self.subspaces, self.singles):
             for sta in trdfDict:
                 for num, row in trdfDict[sta].iterrows():
-                    keys = row.Stats.keys()
-                    offsets = [row.Stats[x]["offset"] for x in keys]
-                    trdfDict[sta].at[num, "Offsets"] = self._getOffsets(
-                        np.array(offsets, dtype=float))
+                    offs = np.array([s["offset"]
+                                     for s in row.Stats.values()], float)
+                    trdfDict[sta].at[num, "Offsets"] = self._getOffsets(offs)
 
     def _getOffsets(self, offsets, m=25.):
-        """Offset [min, median, max] with MAD outlier rejection
-        (reference subspace.py:1636-1650)."""
-        if len(offsets) == 1:
-            return [offsets[0], offsets[0], offsets[0]]
-        d = np.abs(offsets - np.median(offsets))
-        mdev = np.median(d)
-        s = d / mdev if mdev else 0.
-        offs = offsets if isinstance(s, float) else offsets[s < m]
-        return [np.min(offs), np.median(offs), np.max(offs)]
+        """[min, median, max] of the offsets after dropping entries more
+        than ``m`` median-absolute-deviations out (capability of reference
+        subspace.py:1636-1650)."""
+        if len(offsets) > 1:
+            dev = np.abs(offsets - np.median(offsets))
+            mad = np.median(dev)
+            if mad:
+                offsets = offsets[dev / mad < m]
+        return [np.min(offsets), np.median(offsets), np.max(offsets)]
 
     # ------------------------------------------------------------------
     def getFAS(self, conDatNum, LTATime=5, STATime=0.5, staltalimit=8.0,

@@ -89,3 +89,71 @@ def test_dendro_and_simmatrix_plots(synth_case, tmp_path):
     assert (mat <= 1.0 + 1e-9).all()
     clust[0].plotEvents(show=False)
     clust.printAtr()
+
+
+def test_update_req_cc_matches_manual_cover():
+    """The fcluster-based re-threshold must produce the same cluster sets
+    and ordering as a brute-force walk over the linkage rows (the
+    reference's subset-cover semantics)."""
+    from scipy.cluster.hierarchy import linkage
+    from detex_tpu.subspace import Cluster
+
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        m = int(rng.integers(4, 12))
+        pts = rng.standard_normal((m, 2))
+        # distances scaled into (0, 1) like 1 - CC dissimilarities
+        d = np.sqrt(((pts[:, None] - pts[None]) ** 2).sum(-1))
+        iu = np.triu_indices(m, 1)
+        cond = d[iu] / (d.max() * 1.5)
+        link = linkage(cond, method="single")
+        ccReq = float(rng.uniform(0.3, 0.9))
+        key = ["E%02d" % i for i in range(m)]
+        cl = Cluster.__new__(Cluster)
+        cl.link = link
+        cl.key = key
+        cl.station = "TA.TEST"
+        cl.updateReqCC(ccReq)
+
+        # brute-force: peel maximal merged sets off in descending top-link
+        # height among rows <= 1 - ccReq
+        thr = 1 - ccReq
+        n = m
+        sets = {i: [i] for i in range(m)}
+        rows = []
+        for i, (a, b, h, _c) in enumerate(link):
+            sets[n + i] = sets[int(a)] + sets[int(b)]
+            if h <= thr:
+                rows.append((h, sorted(sets[n + i])))
+        rows.sort(key=lambda r: -r[0])
+        want, covered = [], set()
+        for h, members in rows:
+            if not set(members) <= covered:
+                want.append([key[i] for i in sorted(members)])
+                covered |= set(members)
+        got = [sorted(c) for c in cl.clusts]
+        assert got == [sorted(w) for w in want]
+        assert sorted(cl.singles) == sorted(
+            k for i, k in enumerate(key) if i not in covered)
+        assert cl.clustcount == len(covered)
+
+
+def test_approx_thld_matches_isf():
+    """Where beta.isf works, the log-survival bisection agrees with it;
+    where the null can't reach Pf, the backup threshold kicks in."""
+    import scipy.stats
+    from detex_tpu.subspace import SubSpace
+
+    row = pd.Series({"Name": "SS0"})
+    ss = SubSpace.__new__(SubSpace)
+    for a, b, pf in [(2.0, 120.0, 1e-9), (1.5, 40.0, 1e-12),
+                     (3.0, 300.0, 1e-6)]:
+        want = scipy.stats.beta.isf(pf, a, b)
+        got, pft = ss._approxThld(a, b, "TA.X", row, pf,
+                                  backupThreshold=0.9)
+        assert abs(got - want) < 1e-6
+        assert abs(np.log(pft) - np.log(pf)) < 0.7
+    # degenerate fit -> backup
+    got, _ = ss._approxThld(np.nan, np.nan, "TA.X", row, 1e-9,
+                            backupThreshold=0.42)
+    assert got == 0.42
