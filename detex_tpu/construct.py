@@ -123,20 +123,15 @@ def _mergeChannels(st):
     for tr in st1:
         ar = ar * tr.data[:ar_len]
     if (ar == 0.0).any():
-        # find longest run where the product is nonzero on all channels
-        nz = ar != 0.0
-        best_len, best_start, cur_len, cur_start = 0, 0, 0, 0
-        for i, v in enumerate(nz):
-            if v:
-                if cur_len == 0:
-                    cur_start = i
-                cur_len += 1
-                if cur_len > best_len:
-                    best_len, best_start = cur_len, cur_start
-            else:
-                cur_len = 0
-        if best_len == 0:
+        # longest run where the product is nonzero on all channels,
+        # vectorized: run boundaries are the sign changes of the mask
+        nz = (ar != 0.0).astype(np.int8)
+        edges = np.flatnonzero(np.diff(np.concatenate(([0], nz, [0]))))
+        starts, ends = edges[::2], edges[1::2]
+        if len(starts) == 0:
             return Stream()
+        k = int(np.argmax(ends - starts))
+        best_start, best_len = int(starts[k]), int(ends[k] - starts[k])
         sr = st1[0].stats.sampling_rate
         t0 = UTCDateTime(start + best_start / sr)
         t1 = UTCDateTime(start + (best_start + best_len - 1) / sr)
@@ -484,17 +479,17 @@ def _getInfoFromClust(cl, srow):
     full_events = list(cll.Events)
     # both lists are sorted, so cluster positions are increasing and the
     # (i < j) orientation of the full matrices is preserved
-    pos = [full_events.index(ev) for ev in srow.Events]
+    pos = np.array([full_events.index(ev) for ev in srow.Events])
     m = len(pos)
-    cc = np.full((m, m), np.nan)
-    lag = np.zeros((m, m))
     ccfull = np.asarray(_square_from_df(cll.CCs, len(full_events)))
     lagfull = np.asarray(_square_from_df(cll.Lags, len(full_events),
                                          fill=0.0))
-    for i in range(m):
-        for j in range(i + 1, m):
-            cc[i, j] = ccfull[pos[i], pos[j]]
-            lag[i, j] = lagfull[pos[i], pos[j]]
+    # fancy-index the cluster rows/cols out in one shot, keep upper triangle
+    cc = ccfull[np.ix_(pos, pos)]
+    lag = lagfull[np.ix_(pos, pos)]
+    lower = ~np.triu(np.ones((m, m), dtype=bool), k=1)
+    cc[lower] = np.nan
+    lag[lower] = 0.0
     return cc, lag
 
 

@@ -62,7 +62,7 @@ class DataFetcher(object):
     Parameters mirror the reference; see module docstring for methods.
     """
 
-    supMethods = ["dir", "client", "uuss", "iris"]
+    supMethods = ["dir", "client", "iris", "neic", "uuss", "ewave"]
 
     def __init__(self, method, client=None, removeResponse=False,
                  inventoryArg=None, directoryName=None, opType="VEL",
@@ -102,23 +102,35 @@ class DataFetcher(object):
             self._setup_obspy_client()
 
     def _setup_obspy_client(self):
-        try:
-            import obspy.clients.fdsn  # noqa: F401
-        except ImportError:
-            detex_tpu.log(__name__, "method %s requires obspy, which is not "
-                          "installed; use method='dir' with local data"
-                          % self.method, level="error", e=ImportError)
-        import obspy
-        if self.method == "iris":
-            self.client = obspy.clients.fdsn.Client("IRIS")
-        elif self.method == "uuss":
-            import obspy.clients.neic
-            self.client = obspy.clients.neic.Client("128.110.129.227")
-            self.inventoryArg = obspy.clients.fdsn.Client("IRIS")
-        elif self.method == "client" and self.client is None:
-            detex_tpu.log(__name__, "method client requires a valid obspy "
-                          "client", level="error")
-        self._getStream = _loadFromObspyClient
+        """
+        Bind the per-client loader (the reference's _assignClientFunction,
+        getdata.py:672-751). 'iris' and 'uuss' build their well-known
+        clients (needs obspy); 'client'/'neic'/'ewave' take any object with
+        the matching waveform API — a real obspy client or an injected
+        stand-in (testable without network or obspy).
+        """
+        if self.method in ("iris", "uuss"):
+            try:
+                import obspy.clients.fdsn
+            except ImportError:
+                detex_tpu.log(__name__, "method %s requires obspy, which is "
+                              "not installed; use method='dir' with local "
+                              "data" % self.method, level="error",
+                              e=ImportError)
+            if self.method == "iris":
+                self.client = obspy.clients.fdsn.Client("IRIS")
+            else:
+                import obspy.clients.neic
+                self.client = obspy.clients.neic.Client("128.110.129.227")
+                self.inventoryArg = obspy.clients.fdsn.Client("IRIS")
+        elif self.client is None:
+            detex_tpu.log(__name__, "method %s requires a client instance "
+                          "(obspy fdsn/neic/earthworm client or compatible)"
+                          % self.method, level="error")
+        loaders = {"iris": _loadFromFDSN, "client": _loadFromFDSN,
+                   "uuss": _loadFromNEIC, "neic": _loadFromNEIC,
+                   "ewave": _loadFromEarthworm}
+        self._getStream = loaders[self.method]
 
     # -- generators -----------------------------------------------------------
     def getTemData(self, temkey, stakey, tb4=None, taft=None, returnName=True,
@@ -295,22 +307,93 @@ def _loadDirectoryData(fet, start, end, net, sta, chan, loc):
     return stout
 
 
-def _loadFromObspyClient(fet, start, end, net, sta, chan, loc):
-    import obspy
-    ostart = obspy.UTCDateTime(start.timestamp)
-    oend = obspy.UTCDateTime(end.timestamp)
-    if isinstance(chan, (list, tuple)):
-        chan = ",".join(chan)
-    elif "-" in chan:
-        chan = ",".join(chan.split("-"))
+def _client_times(start, end):
+    """Request times for a client call: obspy UTCDateTimes when obspy is
+    importable (real clients), else the detex_tpu UTCDateTimes as-is
+    (injected stand-in clients)."""
     try:
-        ost = fet.client.get_waveforms(net, sta, loc, chan, ostart, oend)
+        import obspy
+        return (obspy.UTCDateTime(start.timestamp),
+                obspy.UTCDateTime(end.timestamp))
+    except ImportError:
+        return start, end
+
+
+def _coerce_stream(obj):
+    """Accept either an obspy Stream (real clients) or a detex_tpu Stream
+    (stand-in clients) from a client call."""
+    if obj is None or isinstance(obj, Stream):
+        return obj
+    return waveio._from_obspy(obj)
+
+
+def _chan_list(chan):
+    """Normalize a channel spec (list, or 'BHE-BHN'-style string, or a
+    list of such strings) into a flat list of channel codes."""
+    items = list(chan) if isinstance(chan, (list, tuple)) else [chan]
+    out = []
+    for item in items:
+        out.extend(str(item).split("-"))
+    return out
+
+
+def _loadFromFDSN(fet, start, end, net, sta, chan, loc):
+    """FDSN client loader: one request with comma-joined channels
+    (capability of reference getdata.py:729-751)."""
+    t0, t1 = _client_times(start, end)
+    chan = ",".join(_chan_list(chan))
+    try:
+        st = fet.client.get_waveforms(net, sta, loc, chan, t0, t1)
     except Exception:
         detex_tpu.log(__name__, "Could not fetch data on %s from %s to %s"
                       % (net + "." + sta, start, end), level="warning",
                       pri=False)
         return None
-    return waveio._from_obspy(ost)
+    return _coerce_stream(st)
+
+
+def _loadFromNEIC(fet, start, end, net, sta, chan, loc):
+    """NEIC CWB client loader: one request per channel (capability of
+    reference getdata.py:690-708)."""
+    t0, t1 = _client_times(start, end)
+    out = None
+    for cha in _chan_list(chan):
+        try:
+            part = _coerce_stream(
+                fet.client.get_waveforms(net, sta, loc, cha, t0, t1))
+        except Exception:
+            detex_tpu.log(__name__, "Could not fetch data on %s from %s to "
+                          "%s" % (net + "." + sta, start, end),
+                          level="warning", pri=False)
+            return None
+        if part is not None:
+            out = part if out is None else out + part
+    return out
+
+
+def _loadFromEarthworm(fet, start, end, net, sta, chan, loc):
+    """Earthworm wave-server loader: per-channel requests with the
+    earthworm '--' blank location convention; supports both the modern
+    get_waveforms and the legacy getWaveform API (capability of reference
+    getdata.py:710-727)."""
+    t0, t1 = _client_times(start, end)
+    if "*" in str(loc) or "?" in str(loc):
+        loc = "--"
+    fetch = getattr(fet.client, "get_waveforms", None)
+    if fetch is None:
+        fetch = fet.client.getWaveform
+    out = None
+    for cha in _chan_list(chan):
+        try:
+            part = _coerce_stream(fetch(net, sta, loc, cha, t0, t1))
+        except Exception:
+            detex_tpu.log(__name__, "Could not fetch data on %s from %s to "
+                          "%s" % (net + "." + sta, start, end),
+                          level="warning", pri=False)
+            return None
+        if part is not None:
+            out = part if out is None else out + part
+    return out
 
 
 def _removeInstrumentResponse(fet, st):

@@ -237,13 +237,15 @@ class _SSDetex(object):
         # trigger thresholds: trigCon=1 (STA/LTA of DS) uses its own
         # staltaThreshold parameter, not the per-row DS Threshold column
         trigth = self._trigThresholds(threshold)
+        tail_trim = self._conTrimSamps(DFsta, nc, samplingRate)
         for st, utc1, utc2 in datGen:
             if st is None or len(st) < 1:
                 detex_tpu.log(__name__, "could not get data on %s from %s to"
                               " %s" % (stakey.STATION.iloc[0], utc1, utc2),
                               level="warning", pri=True)
                 continue
-            result = self._scanChunk(st, det, banks, nc, sta, utc1, utc2)
+            result = self._scanChunk(st, det, banks, nc, sta, utc1, utc2,
+                                     tail_trim=tail_trim)
             if result is None:
                 continue
             dsdict, MPcon, sr, tstamp = result
@@ -476,7 +478,34 @@ class _SSDetex(object):
                       % (detType, sta, len(DF) + numdets), pri=True)
         return histdic if self.calcHist else None
 
-    def _scanChunk(self, st, det, banks, nc, sta, utc1, utc2):
+    def _conTrimSamps(self, DFsta, nc, sr):
+        """
+        Classify-mode tail trim in multiplexed samples (capability of
+        reference _getConTrims, detect.py:580-597): each event chunk is cut
+        by ``median(template_duration) - conBuff`` seconds (when positive)
+        so energy in the trailing buffer region beyond the template span is
+        not classified. The reference computed the same per-detector
+        quantity but its trim slice was an arithmetic no-op (a negative
+        ctrim *extends* the slice bound); detex_tpu applies the intended
+        trim. Continuous mode never trims — association dedup handles
+        chunk-overlap double counting (results.py).
+        """
+        if self.classifyEvents is None:
+            return 0
+        ctrims = []
+        for _, row in DFsta.iterrows():
+            trims = row.SampleTrims
+            if "Starttime" in trims and "Endtime" in trims:
+                dur = (trims["Endtime"] - trims["Starttime"]) / (sr * nc)
+            else:
+                wfs = row.AlignedTD if isinstance(
+                    getattr(row, "AlignedTD", None), dict) else row.MPtd
+                dur = min(len(w) for w in wfs.values()) / (sr * nc)
+            ctrims.append(self.fetcher.conBuff - dur)
+        ctrim = float(np.median(ctrims)) if ctrims else 0.0
+        return int(-ctrim * sr * nc) if ctrim < 0 else 0
+
+    def _scanChunk(self, st, det, banks, nc, sta, utc1, utc2, tail_trim=0):
         """Filter, multiplex and run all detector banks on one chunk
         (the reference's _getRA, detect.py:220-296)."""
         try:
@@ -492,6 +521,8 @@ class _SSDetex(object):
         sr = conSt[0].stats.sampling_rate
         with _prof.stage("detect.multiplex"):
             MPcon = multiplex(conSt, nc)
+        if tail_trim > 0:
+            MPcon = MPcon[: max(len(MPcon) - int(tail_trim), 0)]
         tstamp = conSt[0].stats.starttime.timestamp
         if len(MPcon) <= max(d["n"] for d in det.values()):
             detex_tpu.log(__name__, "data block on %s from %s to %s is too "

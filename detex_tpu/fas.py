@@ -56,9 +56,12 @@ def _initFAS(TRDF, conDatNum, cluster, fetcher, LTATime=5, STATime=0.5,
         dsvec, count, scount = _getDSVect(
             fetcher, stakey, utc1, utc2, filt, deci, dtype, conDatNum, Nc,
             bank, STATime, LTATime, staltalimit)
-        if count != conDatNum:
-            detex_tpu.log(__name__, "%d samps not available, using all "
-                          "available" % conDatNum, level="warning")
+        if scount < conDatNum:
+            # scount = chunks that survived screening; count = chunks tried
+            detex_tpu.log(__name__, "only %d of the requested %d null "
+                          "chunks usable on %s (%d tried), using all "
+                          "available" % (scount, conDatNum, sta, count),
+                          level="warning")
         sratio = float(scount) / max(count, 1)
         if sratio <= .25:
             detex_tpu.log(__name__, "sta/lta req of %s failing on station "

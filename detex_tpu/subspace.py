@@ -69,42 +69,41 @@ class ClusterStream(object):
                           "with enforceOrigin=True", level="error")
         reqZeros = int(np.ceil(np.log10(max(len(self.temkey), 2))))
         fmt = "{:0%dd}" % reqZeros
-        lines = []
-        for num1, everow1 in self.temkey.iterrows():
-            for num2, everow2 in self.temkey.iterrows():
-                if num1 >= num2:
+        temnum = {name: num for num, name in
+                  zip(self.temkey.index, self.temkey.NAME)}
+        # one pass per station over its upper-triangle CC/lag matrices
+        # (the reference re-scanned every station for every template pair,
+        # O(T^2 * S); this is O(S * m^2) array work + the kept pairs)
+        from detex_tpu.construct import _square_from_df
+        obs = {}  # (num1, num2) -> [line, ...] in stalist order
+        for sta in self.stalist:
+            key = list(self[sta].key)
+            trdf = self.trdf[self.trdf.Station == sta].iloc[0]
+            m = len(key)
+            cc = np.asarray(_square_from_df(trdf.CCs, m))
+            lag = np.asarray(_square_from_df(trdf.Lags, m, fill=0.0))
+            sub = np.asarray(_square_from_df(trdf.Subsamp, m, fill=0.0))
+            sr = trdf.Stats[key[0]]["sampling_rate"]
+            Nc = trdf.Stats[key[0]]["Nc"]
+            iu, ju = np.triu_indices(m, k=1)
+            vals = cc[iu, ju]
+            good = np.isfinite(vals) & (vals >= minCC)
+            secs = lag[iu, ju] / (sr * Nc) + sub[iu, ju]
+            for i, j, c, lg in zip(iu[good], ju[good], vals[good],
+                                   secs[good]):
+                ni = temnum.get(key[i])
+                nj = temnum.get(key[j])
+                if ni is None or nj is None:
                     continue
-                ev1, ev2 = everow1.NAME, everow2.NAME
-                header = "# %s %s 0.0" % (fmt.format(num1), fmt.format(num2))
-                count = 0
-                obs = []
-                for sta in self.stalist:
-                    clu = self[sta]
-                    key = list(clu.key)
-                    if ev1 not in key or ev2 not in key:
-                        continue
-                    ind1, ind2 = key.index(ev1), key.index(ev2)
-                    trdf = self.trdf[self.trdf.Station == sta].iloc[0]
-                    sr = trdf.Stats[ev1]["sampling_rate"]
-                    Nc = trdf.Stats[ev1]["Nc"]
-                    i, j = min(ind1, ind2), max(ind1, ind2)
-                    try:
-                        cc = trdf.CCs.loc[i, j]
-                    except KeyError:
-                        continue
-                    if np.isnan(cc) or cc < minCC:
-                        continue
-                    lagsamps = trdf.Lags.loc[i, j]
-                    subsamps = trdf.Subsamp.loc[i, j]
-                    if ind1 > ind2:  # orientation: lag is (ev1 -> ev2)
-                        lagsamps = -lagsamps
-                        subsamps = -subsamps
-                    lags = lagsamps / (sr * Nc) + subsamps
-                    obs.append("%s %0.4f %0.4f S" % (sta, lags, cc ** coef))
-                    count += 1
-                if count > 0:
-                    lines.append(header)
-                    lines.extend(obs)
+                # matrix orientation is key[i] -> key[j]; flip the lag when
+                # the global template order disagrees
+                pair, lg = ((ni, nj), lg) if ni < nj else ((nj, ni), -lg)
+                obs.setdefault(pair, []).append(
+                    "%s %0.4f %0.4f S" % (sta, lg, c ** coef))
+        lines = []
+        for (n1, n2) in sorted(obs):
+            lines.append("# %s %s 0.0" % (fmt.format(n1), fmt.format(n2)))
+            lines.extend(obs[(n1, n2)])
         with open(fileName, "w") as fil:
             fil.write("\n".join(lines) + ("\n" if lines else ""))
 

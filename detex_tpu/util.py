@@ -118,18 +118,29 @@ def loadSQLite(dbPath, tableName, sql=None, convertNumeric=True,
 # ---------------------------------------------------------------------------
 
 
+def _load_pickle(filename):
+    """Load a detex_tpu pickle; pickles written by the original Detex
+    package (class paths detex.subspace.* — reference subspace.py:261-267,
+    2018-2026) are migrated via detex_tpu.migrate."""
+    try:
+        with open(filename, "rb") as fh:
+            return pickle.load(fh)
+    except (ModuleNotFoundError, ImportError, AttributeError,
+            UnicodeDecodeError):
+        from detex_tpu import migrate
+        return migrate.load(filename)
+
+
 def loadClusters(filename="clust.pkl"):
-    """Load a pickled ClusterStream instance."""
-    with open(filename, "rb") as fh:
-        cl = pickle.load(fh)
-    return cl
+    """Load a pickled ClusterStream instance (reference pickles are
+    auto-migrated)."""
+    return _load_pickle(filename)
 
 
 def loadSubSpace(filename="subspace.pkl"):
-    """Load a pickled SubSpace instance."""
-    with open(filename, "rb") as fh:
-        ss = pickle.load(fh)
-    return ss
+    """Load a pickled SubSpace instance (reference pickles are
+    auto-migrated)."""
+    return _load_pickle(filename)
 
 
 def saveObject(obj, filename):

@@ -194,3 +194,33 @@ def test_detection_with_fillzeros(small_ss, synth_case):
     ssdf = util.loadSQLite(db, "ss_df")
     assert ssdf is not None and len(ssdf) > 0
     assert (ssdf.DS_STALTA == 0).all()
+
+
+def test_classify_conbuff_trim(small_ss, synth_case):
+    """classify-mode conBuff trim (reference _getConTrims detect.py:580-597,
+    intended semantics): with conBuff shorter than the template duration the
+    chunk tail is cut so buffer-region energy is not classified — observable
+    through the utcSaves DS-vector length."""
+    ss, wd = small_ss
+    cat = synth_case["cat"]
+    sr = cat.sr
+    t = cat.events[0]["time"] + 3  # inside the first event's chunk
+    fet = ss.clusters.fetcher
+    old = fet.conBuff
+    lens = {}
+    try:
+        # duration=20 s templates: conBuff=1000 -> no trim; conBuff=5 ->
+        # 15 s trimmed off the tail
+        for label, buff in [("full", 1000.0), ("trimmed", 5.0)]:
+            fet.conBuff = buff
+            if os.path.exists("UTCsaves.pkl"):
+                os.remove("UTCsaves.pkl")
+            ss.detex(subspaceDB=str(wd / ("ct_%s.db" % label)),
+                     classifyEvents=synth_case["templateKey"],
+                     utcSaves=[t], estimateMags=False, useSingles=False)
+            df = pd.read_pickle("UTCsaves.pkl")
+            df = df.sort_values(["Station", "Name"]).reset_index(drop=True)
+            lens[label] = len(df.iloc[0].SSdetect)
+    finally:
+        fet.conBuff = old
+    assert lens["full"] - lens["trimmed"] == int(15 * sr)
