@@ -77,15 +77,17 @@ def main(mode="subspace"):
     Lc = int(chunk_sec * sr * nc)        # 1,080,000
     rng = np.random.default_rng(0)
     if mode == "network":
-        # BASELINE config 5 analog: a large matched-filter bank (one
-        # normalized template per detector) scanned per chunk
-        S = 256
+        # BASELINE config 5 analog: a 1000-template matched-filter bank
+        # (one normalized template per detector) scanned per chunk via the
+        # overlap-save spectra + template-blocked path
+        S = 1000
         T = rng.standard_normal((S, n))
         U_list = [np.ascontiguousarray(
             (t / np.linalg.norm(t))[None, :]) for t in T]
         bank = dsops.build_bank(U_list, nc, Lc)
+        assert bank.get("os"), "1000-template bank should be overlap-save"
         thresholds = np.full(S, 0.99, np.float32)
-        B = 2
+        B = 4  # chunks per launch: amortizes the tunnel launch latency
     else:
         D = 4                             # basis dims after energy capture
         A = rng.standard_normal((D, n))

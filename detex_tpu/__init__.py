@@ -149,6 +149,10 @@ from detex_tpu import fas           # noqa: E402
 from detex_tpu import detect        # noqa: E402
 from detex_tpu import results       # noqa: E402
 from detex_tpu import parallel      # noqa: E402
+from detex_tpu import oracle        # noqa: E402
+from detex_tpu import migrate       # noqa: E402
+from detex_tpu import stats         # noqa: E402
+from detex_tpu import serving       # noqa: E402
 
 # getdata is the reference's module name for the data layer; keep an alias so
 # user code written against the reference API keeps working.

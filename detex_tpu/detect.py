@@ -177,7 +177,7 @@ class _SSDetex(object):
                                   pad_len)
             bank["names"] = names
             if self.devicePrep:
-                if not bank.get("demux"):
+                if not bank.get("demux") or bank.get("os"):
                     detex_tpu.log(__name__, "devicePrep requires template "
                                   "lengths divisible by the channel count; "
                                   "falling back to host prep",

@@ -233,13 +233,108 @@ def ds_bank_demux_chunks(X, Ufd2, sum_u, d_mask, n_c, nc, nfft2):
                                             nfft2))(X)
 
 
-def build_bank(U_list, nc, data_len_samps, dtype=jnp.float32):
+# ---------------------------------------------------------------------------
+# Overlap-save demuxed formulation — the large-bank (matched-filter) path.
+#
+# A full-length cross-spectrum bank stores one rfft of size nfft2/2+1 per
+# (template, channel): at 1000 templates x hour chunks that is ~6 GB of
+# spectra and ~2 GB of per-chunk complex intermediates — HBM-prohibitive.
+# Overlap-save correlation instead stores template spectra at a short block
+# FFT (a few template lengths): the data channels are cut into overlapping
+# blocks, transformed ONCE for all templates, conj-multiplied against the
+# small spectra, and the circularly-contaminated head of each block's
+# inverse transform is discarded. Identical math (up to f32 rounding),
+# O(S * blk) memory instead of O(S * Lc).
+# ---------------------------------------------------------------------------
+
+
+def make_bank_demux_os(U_list, nc, blk_fft, dtype=jnp.float32):
+    """Pack [D_i, n] multiplexed bases into an overlap-save demuxed bank:
+    Ufd2 [S, Dmax, nc, blk_fft//2+1] (rfft of reversed per-channel
+    templates at the block length)."""
+    n = U_list[0].shape[1]
+    assert n % nc == 0
+    n_c = n // nc
+    assert blk_fft > n_c, "block FFT must exceed the per-channel template"
+    S = len(U_list)
+    Dmax = max(u.shape[0] for u in U_list)
+    Ud = np.zeros((S, Dmax, nc, n_c), dtype=np.float64)
+    mask = np.zeros((S, Dmax), dtype=bool)
+    sum_u = np.zeros((S, Dmax), dtype=np.float64)
+    for i, u in enumerate(U_list):
+        for d in range(u.shape[0]):
+            Ud[i, d] = np.asarray(u[d]).reshape(n_c, nc).T
+        mask[i, :u.shape[0]] = True
+        sum_u[i, :u.shape[0]] = u.sum(axis=-1)
+    Ufd2 = jnp.fft.rfft(jnp.asarray(Ud[..., ::-1], dtype), int(blk_fft),
+                        axis=-1)
+    return dict(Ufd2=Ufd2, sum_u=jnp.asarray(sum_u, dtype),
+                d_mask=jnp.asarray(mask), n=int(n), n_c=int(n_c),
+                Dmax=int(Dmax), nc=int(nc), blk_fft=int(blk_fft),
+                demux=True, os=True)
+
+
+@partial(jax.jit, static_argnames=("n_c", "nc", "blk_fft"))
+def ds_bank_demux_os(x, Ufd2, sum_u, d_mask, n_c, nc, blk_fft):
+    """Overlap-save DS of one multiplexed chunk. Same contract as
+    ds_bank_demux: x [Lc] -> [S, Lc//nc - n_c + 1]."""
+    Lc = x.shape[0]
+    L_c = Lc // nc
+    n = n_c * nc
+    out_len = L_c - n_c + 1
+    V = blk_fft - n_c + 1                       # valid outputs per block
+    m = -(-out_len // V)                        # block count
+    mu = jnp.mean(x)
+    sd = jnp.std(x)
+    xs = (x - mu) / jnp.where(sd == 0, 1.0, sd)
+    xc = xs.reshape(L_c, nc).T                  # [nc, L_c]
+
+    # window stats exactly as the full-length kernel
+    s1 = jax.vmap(lambda v: rolling_mean(v, n_c))(xc).sum(0) * n_c
+    s2 = jax.vmap(lambda v: rolling_mean(v * v, n_c))(xc).sum(0) * n_c
+    a = s1 / n
+    var_samp = (s2 - s1 * s1 / n) / (n - 1.0)
+    power = jnp.maximum(var_samp, 0.0) * n
+
+    # overlapping data blocks, transformed once for every template
+    idx = (jnp.arange(m)[:, None] * V + jnp.arange(blk_fft)[None, :])
+    valid = idx < L_c
+    xb = jnp.take(xc, jnp.minimum(idx, L_c - 1), axis=1) \
+        * valid[None, :, :].astype(xc.dtype)    # [nc, m, blk]
+    F = jnp.fft.rfft(xb, blk_fft, axis=-1)      # [nc, m, R]
+    spec = jnp.einsum("sdcr,cmr->sdmr", Ufd2, F)
+    cb = jnp.fft.irfft(spec, blk_fft, axis=-1)[..., n_c - 1:blk_fft]
+    cc = cb.reshape(cb.shape[0], cb.shape[1], m * V)[:, :, :out_len]
+
+    powsafe = jnp.where(power == 0, jnp.inf, power)
+    if _use_pallas():
+        from detex_tpu.ops.pallas_kernels import ds_finalize
+        su = jnp.where(d_mask, sum_u, 0.0)
+        return ds_finalize(cc, a, powsafe, su)
+    y = cc - sum_u[:, :, None] * a[None, None, :]
+    y = jnp.where(d_mask[:, :, None], y, 0.0)
+    num = jnp.sum(y * y, axis=1)
+    return num / powsafe[None, :]
+
+
+# full-length spectra above this many complex elements switch the bank to
+# the overlap-save form (S * Dmax * nc * (nfft2/2+1))
+OS_SPECTRA_BUDGET = 1 << 26
+
+
+def build_bank(U_list, nc, data_len_samps, dtype=jnp.float32,
+               block_fft=None):
     """
     Pack basis arrays into the fastest applicable bank for scanning chunks
     of ``data_len_samps`` multiplexed samples: the demultiplexed (polyphase)
     form when the template length divides into the channels, else the
     multiplexed form. Also records ``pad_len`` (fixed chunk padding) and the
     FFT length.
+
+    Large banks (many matched-filter templates) automatically use the
+    overlap-save demuxed form, which stores template spectra at a short
+    block FFT instead of the full chunk length (``block_fft`` forces a
+    specific block size; block_fft=0 forces full-length).
     """
     n = U_list[0].shape[1]
     pad_len = int(data_len_samps)
@@ -248,7 +343,17 @@ def build_bank(U_list, nc, data_len_samps, dtype=jnp.float32):
         n_c = n // nc
         L_c = pad_len // nc
         nfft2 = 2 ** int(L_c + n_c).bit_length()
-        bank = make_bank_demux(U_list, nc, nfft2, dtype)
+        Dmax = max(u.shape[0] for u in U_list)
+        full_elems = len(U_list) * Dmax * nc * (nfft2 // 2 + 1)
+        use_os = (block_fft if block_fft is not None
+                  else (full_elems > OS_SPECTRA_BUDGET))
+        if use_os:
+            blk = int(block_fft) if block_fft else \
+                2 ** int(4 * n_c).bit_length()
+            blk = min(blk, nfft2)
+            bank = make_bank_demux_os(U_list, nc, blk, dtype)
+        else:
+            bank = make_bank_demux(U_list, nc, nfft2, dtype)
     else:
         nfft = 2 ** int(pad_len + n).bit_length()
         bank = make_bank(U_list, nfft, dtype)
@@ -278,7 +383,11 @@ def run_bank(x_np, bank, nc, nfft=None, pad_len=None):
         Lc = pad_len
     xp = np.zeros(pad_len, dtype=np.float32)
     xp[:Lc] = x_np
-    if bank.get("demux"):
+    if bank.get("os"):
+        out = ds_bank_demux_os(jnp.asarray(xp), bank["Ufd2"], bank["sum_u"],
+                               bank["d_mask"], bank["n_c"], int(nc),
+                               bank["blk_fft"])
+    elif bank.get("demux"):
         out = ds_bank_demux(jnp.asarray(xp), bank["Ufd2"], bank["sum_u"],
                             bank["d_mask"], bank["n_c"], int(nc),
                             bank["nfft2"])
@@ -311,7 +420,11 @@ def run_bank_batch(x_list, bank, nc):
         X[i, :L] = np.asarray(x[:L], np.float32)
         lens.append(L)
     Xd = jnp.asarray(X)
-    if bank.get("demux"):
+    if bank.get("os"):
+        out = _ds_map_demux_os(Xd, bank["Ufd2"], bank["sum_u"],
+                               bank["d_mask"], bank["n_c"], int(nc),
+                               bank["blk_fft"])
+    elif bank.get("demux"):
         out = _ds_map_demux(Xd, bank["Ufd2"], bank["sum_u"],
                             bank["d_mask"], bank["n_c"], int(nc),
                             bank["nfft2"])
@@ -330,6 +443,12 @@ def run_bank_batch(x_list, bank, nc):
 def _ds_map_demux(X, Ufd2, sum_u, d_mask, n_c, nc, nfft2):
     return jax.lax.map(lambda x: ds_bank_demux(x, Ufd2, sum_u, d_mask,
                                                n_c, nc, nfft2), X)
+
+
+@partial(jax.jit, static_argnames=("n_c", "nc", "blk_fft"))
+def _ds_map_demux_os(X, Ufd2, sum_u, d_mask, n_c, nc, blk_fft):
+    return jax.lax.map(lambda x: ds_bank_demux_os(x, Ufd2, sum_u, d_mask,
+                                                  n_c, nc, blk_fft), X)
 
 
 @partial(jax.jit, static_argnames=("n", "nc", "nfft"))

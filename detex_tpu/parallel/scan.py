@@ -70,57 +70,114 @@ def _hist_counts(ds, bins):
 
 
 def _bank_arrays(bank):
-    """The device arrays of a bank (leading pytree args for jit)."""
-    if bank.get("demux"):
-        return (bank["Ufd2"], bank["sum_u"], bank["d_mask"])
-    return (bank["Ufd"], bank["sum_u"], bank["d_mask"])
+    """The device arrays of a bank (leading pytree args for jit), with the
+    template axis pre-blocked (host-side, cached on the bank dict) when the
+    bank exceeds TEMPLATE_BLOCK detectors — in-jit padding would copy the
+    whole spectra bank per chunk call."""
+    raw = (bank["Ufd2"], bank["sum_u"], bank["d_mask"]) \
+        if bank.get("demux") else \
+        (bank["Ufd"], bank["sum_u"], bank["d_mask"])
+    S = raw[0].shape[0]
+    if S <= TEMPLATE_BLOCK:
+        return raw
+    if "_blocked_arrs" not in bank:
+        SB = TEMPLATE_BLOCK
+        Sp = -(-S // SB) * SB
+        bank["_blocked_arrs"] = tuple(
+            jnp.pad(a, [(0, Sp - S)] + [(0, 0)] * (a.ndim - 1))
+            .reshape((Sp // SB, SB) + a.shape[1:]) for a in raw)
+    return bank["_blocked_arrs"]
+
+
+def _blocked_thresholds(bank, thresholds):
+    """Thresholds shaped to match _bank_arrays' blocking ([nB, SB] with the
+    pad slots at +inf, or flat [S])."""
+    thresholds = np.asarray(thresholds, np.float32)
+    S = len(thresholds)
+    if S <= TEMPLATE_BLOCK:
+        return jnp.asarray(thresholds)
+    SB = TEMPLATE_BLOCK
+    Sp = -(-S // SB) * SB
+    th = np.full(Sp, np.inf, np.float32)
+    th[:S] = thresholds
+    return jnp.asarray(th.reshape(Sp // SB, SB))
 
 
 def _bank_statics(bank, nc):
+    if bank.get("os"):
+        return dict(demux="os", n_c=bank["n_c"], nc=int(nc),
+                    nfft=bank["blk_fft"],
+                    S=int(bank["sum_u"].shape[0]))
     if bank.get("demux"):
         return dict(demux=True, n_c=bank["n_c"], nc=int(nc),
-                    nfft=bank["nfft2"])
-    return dict(demux=False, n_c=bank["n"], nc=int(nc), nfft=bank["nfft"])
+                    nfft=bank["nfft2"], S=int(bank["sum_u"].shape[0]))
+    return dict(demux=False, n_c=bank["n"], nc=int(nc), nfft=bank["nfft"],
+                S=int(bank["sum_u"].shape[0]))
 
 
 def _ds_of(x, arrs, demux, n_c, nc, nfft):
+    if demux == "os":
+        return _ds.ds_bank_demux_os(x, arrs[0], arrs[1], arrs[2], n_c, nc,
+                                    nfft)
     if demux:
         return _ds.ds_bank_demux(x, arrs[0], arrs[1], arrs[2], n_c, nc,
                                  nfft)
     return _ds.ds_bank(x, arrs[0], arrs[1], arrs[2], n_c, nc, nfft)
 
 
+TEMPLATE_BLOCK = 128  # S-axis block bounding the per-chunk HBM footprint
+
+
 def _chunk_fn(x, nv, arrs, thresholds, bins, demux, n_c, nc, nfft,
-              buff_samps, max_trig):
+              buff_samps, max_trig, S):
     """Process one chunk: DS for the whole bank + hist + triggers.
     ``nv`` is the number of valid DS samples (windows fully inside real
     data — ragged chunks are zero-padded to the bank's pad_len and the pad
-    windows are masked out here)."""
-    ds = _ds_of(x, arrs, demux, n_c, nc, nfft)                 # [S, out]
-    # mask pad windows to -inf: excluded from histogram bins, maxima and
-    # thresholds alike
-    pos = jnp.arange(ds.shape[-1])
-    ds = jnp.where(pos[None, :] < nv, ds, -jnp.inf)
-    hist = jax.vmap(lambda v: _hist_counts(v, bins))(ds)       # [S, nbins]
-    maxds = jnp.max(ds, axis=-1)                               # [S]
+    windows are masked out here).
 
-    def trig_one(v, th):
-        idx, cnt = _triggers.extract_triggers_topk(v, th, buff_samps,
-                                                   max_triggers=max_trig)
-        vals = jnp.where(idx >= 0, v[jnp.clip(idx, 0, v.shape[0] - 1)],
-                         jnp.nan)
-        return idx, vals, cnt
+    ``arrs`` is either a flat bank (small S) or pre-blocked
+    [nB, TEMPLATE_BLOCK, ...] arrays from _bank_arrays (large
+    matched-filter banks): blocks are processed with lax.map so complex
+    spectra / irFFT intermediates stay bounded — a 1000-template bank
+    would otherwise exhaust HBM on a single chip. ``S`` is the true
+    (unpadded) detector count."""
 
-    tidx, tval, tcnt = jax.vmap(trig_one)(ds, thresholds)
-    return hist, maxds, tidx, tval, tcnt
+    def finish(ds, th):
+        pos = jnp.arange(ds.shape[-1])
+        ds = jnp.where(pos[None, :] < nv, ds, -jnp.inf)
+        hist = jax.vmap(lambda v: _hist_counts(v, bins))(ds)   # [s, nbins]
+        maxds = jnp.max(ds, axis=-1)                           # [s]
+
+        def trig_one(v, t):
+            idx, cnt = _triggers.extract_triggers_topk(
+                v, t, buff_samps, max_triggers=max_trig)
+            vals = jnp.where(idx >= 0, v[jnp.clip(idx, 0, v.shape[0] - 1)],
+                             jnp.nan)
+            return idx, vals, cnt
+
+        tidx, tval, tcnt = jax.vmap(trig_one)(ds, th)
+        return hist, maxds, tidx, tval, tcnt
+
+    blocked = arrs[2].ndim == 3  # d_mask [nB, SB, Dmax] when pre-blocked
+    if not blocked:
+        return finish(_ds_of(x, arrs, demux, n_c, nc, nfft), thresholds)
+
+    def one_block(args):
+        blk, th = args[:-1], args[-1]
+        return finish(_ds_of(x, blk, demux, n_c, nc, nfft), th)
+
+    hist, maxds, tidx, tval, tcnt = jax.lax.map(
+        one_block, arrs + (thresholds,))
+    cat = lambda a: a.reshape((-1,) + a.shape[2:])[:S]          # noqa
+    return cat(hist), cat(maxds), cat(tidx), cat(tval), cat(tcnt)
 
 
 @partial(jax.jit, static_argnames=("demux", "n_c", "nc", "nfft",
-                                   "buff_samps", "max_trig"))
+                                   "buff_samps", "max_trig", "S"))
 def _scan_chunks_jit(X, NV, arrs, thresholds, bins, demux, n_c, nc, nfft,
-                     buff_samps, max_trig):
+                     buff_samps, max_trig, S):
     f = lambda xn: _chunk_fn(xn[0], xn[1], arrs, thresholds, bins,  # noqa
-                             demux, n_c, nc, nfft, buff_samps, max_trig)
+                             demux, n_c, nc, nfft, buff_samps, max_trig, S)
     # lax.map (not vmap): compiles the chunk body once — these are
     # million-sample chunks, so batching buys no fusion but multiplies the
     # program size (and remote compile time) by B
@@ -149,13 +206,15 @@ def scan_chunks(X, bank, thresholds, nc, buff_samps, bins=None, max_trig=64,
     if bins is None:
         bins = DEFAULT_BINS
     st = _bank_statics(bank, nc)
-    nv = _valid_lens(bank, nc, np.asarray(X), valid_lens)
+    # NOTE: X may be a device array — never np.asarray it here (a full
+    # device->host transfer through the TPU tunnel); only shapes are needed
+    nv = _valid_lens(bank, nc, X, valid_lens)
     return _scan_chunks_jit(jnp.asarray(X, jnp.float32), jnp.asarray(nv),
                             _bank_arrays(bank),
-                            jnp.asarray(thresholds, jnp.float32),
+                            _blocked_thresholds(bank, thresholds),
                             jnp.asarray(bins, jnp.float32), st["demux"],
                             st["n_c"], st["nc"], st["nfft"],
-                            int(buff_samps), int(max_trig))
+                            int(buff_samps), int(max_trig), st["S"])
 
 
 def _chunk_fn_raw(xc, Lv, H, arrs, thresholds, bins, n_c, nc, nfft,
@@ -206,9 +265,10 @@ def scan_chunks_raw(Xc, lens, H, bank, thresholds, nc, buff_samps,
                                        max_trig=max_trig, dec=dec)
     if bins is None:
         bins = DEFAULT_BINS
-    if not bank.get("demux"):
-        raise ValueError("scan_chunks_raw requires a demuxed bank")
-    arrs = _bank_arrays(bank)
+    if not bank.get("demux") or bank.get("os"):
+        raise ValueError("scan_chunks_raw requires a (non-overlap-save) "
+                         "demuxed bank")
+    arrs = (bank["Ufd2"], bank["sum_u"], bank["d_mask"])
     return _scan_chunks_raw_jit(
         jnp.asarray(Xc, jnp.float32), jnp.asarray(lens, jnp.int32), H,
         arrs, jnp.asarray(thresholds, jnp.float32),
@@ -217,14 +277,15 @@ def scan_chunks_raw(Xc, lens, H, bank, thresholds, nc, buff_samps,
 
 
 @lru_cache(maxsize=None)
-def _sharded_scan_fn(mesh, demux, n_c, nc, nfft, buff_samps, max_trig, axis):
+def _sharded_scan_fn(mesh, demux, n_c, nc, nfft, buff_samps, max_trig, axis,
+                     S):
     """Build (once per static config) the jitted shard_map scan: chunks
     sharded over ``axis``, DS histogram merged with one psum."""
 
     def shard_body(Xs, NV, arrs, thresholds, bins):
         f = lambda xn: _chunk_fn(xn[0], xn[1], arrs, thresholds,    # noqa
                                  bins, demux, n_c, nc, nfft,
-                                 buff_samps, max_trig)
+                                 buff_samps, max_trig, S)
         hist, maxds, tidx, tval, tcnt = jax.lax.map(f, (Xs, NV))
         hist = jax.lax.psum(hist.sum(axis=0), axis)
         return hist, maxds, tidx, tval, tcnt
@@ -271,10 +332,11 @@ def scan_chunks_sharded(mesh, X, bank, thresholds, nc, buff_samps,
     nv = _valid_lens(bank, nc, X, valid_lens)
     X, nv, B = _pad_batch(mesh.size, X, nv)
     fn = _sharded_scan_fn(mesh, st["demux"], st["n_c"], int(nc), st["nfft"],
-                          int(buff_samps), int(max_trig), axis)
+                          int(buff_samps), int(max_trig), axis, st["S"])
     hist, maxds, tidx, tval, tcnt = fn(
         jnp.asarray(X), jnp.asarray(nv), _bank_arrays(bank),
-        jnp.asarray(thresholds, jnp.float32), jnp.asarray(bins, jnp.float32))
+        _blocked_thresholds(bank, thresholds),
+        jnp.asarray(bins, jnp.float32))
     return hist, maxds[:B], tidx[:B], tval[:B], tcnt[:B]
 
 
@@ -285,14 +347,16 @@ def scan_chunks_raw_sharded(mesh, Xc, lens, H, bank, thresholds, nc,
     multiple of the mesh size like scan_chunks_sharded."""
     if bins is None:
         bins = DEFAULT_BINS
-    if not bank.get("demux"):
-        raise ValueError("scan_chunks_raw_sharded requires a demuxed bank")
+    if not bank.get("demux") or bank.get("os"):
+        raise ValueError("scan_chunks_raw_sharded requires a "
+                         "(non-overlap-save) demuxed bank")
     Xc = np.asarray(Xc, np.float32)
     lens = np.asarray(lens, np.int32)
     Xc, lens, B = _pad_batch(mesh.size, Xc, lens)
     fn = _sharded_scan_raw_fn(mesh, bank["n_c"], int(nc), bank["nfft2"],
                               int(buff_samps), int(max_trig), int(dec), axis)
     hist, maxds, tidx, tval, tcnt = fn(
-        jnp.asarray(Xc), jnp.asarray(lens), H, _bank_arrays(bank),
+        jnp.asarray(Xc), jnp.asarray(lens), H,
+        (bank["Ufd2"], bank["sum_u"], bank["d_mask"]),
         jnp.asarray(thresholds, jnp.float32), jnp.asarray(bins, jnp.float32))
     return hist, maxds[:B], tidx[:B], tval[:B], tcnt[:B]

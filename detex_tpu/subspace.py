@@ -437,7 +437,14 @@ class SubSpace(object):
         return arr, arr.shape[1]
 
     def _checkSelection(self, selectCriteria, selectValue, threshold):
-        if selectCriteria in [1, 2, 3]:
+        if selectCriteria == 1:
+            if selectValue <= 0:
+                detex_tpu.log(__name__, "selectCriteria 1 maximizes "
+                              "detection probability at the instance Pf; "
+                              "selectValue is the design total signal "
+                              "energy-to-noise ratio and must be > 0",
+                              level="error", e=ValueError)
+        elif selectCriteria in [2, 3]:
             if selectValue > 1 or selectValue < 0:
                 detex_tpu.log(__name__, "selectValue must be a float between "
                               "0 and 1 for selectCriteria %d"
@@ -478,9 +485,24 @@ class SubSpace(object):
     def _getUsedBasis(self, ind, row, svdDict, cumFracEnergy, selectCriteria,
                       selectValue):
         """Select the singular-vector keys to use as detectors
-        (reference subspace.py:999-1013)."""
+        (reference subspace.py:999-1013). selectCriteria 1 — reserved but
+        never implemented by the reference (subspace.py:802-807) — picks
+        the dimension maximizing detection probability at the instance Pf
+        via the doubly noncentral beta (detex_tpu.stats, Harris 2006 §9),
+        with selectValue as the design signal energy-to-noise ratio."""
         keys = sorted(svdDict.keys(), reverse=True)
-        if selectCriteria in [1, 2, 3]:
+        if selectCriteria == 1:
+            from detex_tpu import stats as _stats
+            avg = np.array(cumFracEnergy["Average"], dtype=float)
+            N = len(next(iter(svdDict.values())))
+            ndim, pds = _stats.dim_of_max_pd(avg, N, self.Pf,
+                                             float(selectValue))
+            detex_tpu.log(__name__, "selectCriteria 1: %d dimension(s) "
+                          "maximize P_D=%.4f at Pf=%.2e (design SNR %.1f)"
+                          % (ndim, pds[ndim - 1], self.Pf, selectValue),
+                          pri=True)
+            return keys[:ndim]
+        if selectCriteria in [2, 3]:
             avg = np.array(cumFracEnergy["Average"], dtype=float)
             avg[-1] = 1.00
             ndim = int(np.argmax(avg >= selectValue))
@@ -501,10 +523,7 @@ class SubSpace(object):
                 for ind in self.subspaces[station].index:
                     self.subspaces[station].at[ind, "Threshold"] = threshold
             return
-        if selectCriteria == 1:
-            detex_tpu.log(__name__, "selectCriteria 1 currently not "
-                          "supported", level="error", e=ValueError)
-        elif selectCriteria in [2, 4]:
+        if selectCriteria in [1, 2, 4]:
             self.getFAS(conDatNum, **kwargs)
             for station in self.ssStations:
                 for ind, row in self.subspaces[station].iterrows():
