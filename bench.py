@@ -106,9 +106,13 @@ def main(mode="subspace"):
     def step(X):
         return pscan.scan_chunks(X, bank, thresholds, nc, buff, max_trig=16)
 
-    # warmup/compile
+    # warmup/compile. NOTE the sync: on this tunneled backend
+    # jax.block_until_ready returns BEFORE remote execution completes
+    # (measured: 3 ms "ready" vs 300+ s for the dependent scalar), so every
+    # timing below syncs by transferring a scalar that data-depends on all
+    # outputs — the only honest completion barrier available here.
     out = step(Xs[0])
-    jax.block_until_ready(out)
+    float(np.asarray(out[1]).ravel()[0])
 
     # measure steady state: best of 3 repeats (the TPU service behind the
     # tunnel has high run-to-run variance). Every step's input is made
@@ -129,7 +133,7 @@ def main(mode="subspace"):
             acc = (maxds.ravel()[0] +
                    hist.sum().astype(jnp.float32) * 1e-20 +
                    tcnt.sum().astype(jnp.float32) * 1e-20)
-        jax.block_until_ready(acc)
+        float(acc)  # scalar transfer = real completion barrier
         dt = min(dt, time.perf_counter() - t0)
     chunk_hours = chunk_sec / 3600.0
     station_days = iters * B * chunk_hours / 24.0

@@ -73,6 +73,41 @@ def writeKMLFromEQSearchSum(eqsum="eqsrchsum", outname="eqsearch.kml"):
                       outname)
 
 
+def writeKMLFromHypInv(hypout="sum2000", outname="hypoInv.kml"):
+    """KML from a hypoInverse-2000 summary file (capability of reference
+    util.py:97-118; point names are the yyyymmddhh origin stamp)."""
+    df = readHypo2000Sum(hypout)
+    pts = [("".join(c for c in r.DateString if c.isdigit())[:10],
+            r.Lon, r.Lat) for _, r in df.iterrows()]
+    return _write_kml(pts, outname)
+
+
+def writeKMLFromArcDF(df, outname="Arc.kml"):
+    """KML from a readArc-style verified-location DataFrame (capability of
+    reference util.py:120-126): one point per row at (verlon, verlat)."""
+    pts = [(str(int(ind)), row["verlon"], row["verlat"])
+           for ind, row in df.iterrows()]
+    return _write_kml(pts, outname)
+
+
+def writeKMLfromHYPInput(hypin="test.pha", outname="hypoInInv.kml"):
+    """KML from a hypoInverse phase-input file (capability of reference
+    util.py:129-147): terminator lines carry the trial origin in
+    degrees + decimal-minutes fixed-width fields (W hemisphere assumed)."""
+    pts = []
+    with open(hypin) as fh:
+        for line in fh:
+            if not line.startswith(" " * 6) or len(line.rstrip()) < 29:
+                continue
+            z = line.replace(" ", "0")
+            lat = (float(z[14:16]) +
+                   (float(z[17:19]) + float(z[19:21]) / 100.0) / 60.0)
+            lon = -(float(z[21:24]) +
+                    (float(z[25:27]) + float(z[27:29]) / 100.0) / 60.0)
+            pts.append((str(len(pts) + 1), lon, lat))
+    return _write_kml(pts, outname)
+
+
 # ---------------------------------------------------------------------------
 # hypoDD (reference util.py:206-260)
 # ---------------------------------------------------------------------------

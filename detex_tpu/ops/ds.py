@@ -303,14 +303,22 @@ def ds_bank_demux_os(x, Ufd2, sum_u, d_mask, n_c, nc, blk_fft):
         * valid[None, :, :].astype(xc.dtype)    # [nc, m, blk]
     F = jnp.fft.rfft(xb, blk_fft, axis=-1)      # [nc, m, R]
     spec = jnp.einsum("sdcr,cmr->sdmr", Ufd2, F)
-    cb = jnp.fft.irfft(spec, blk_fft, axis=-1)[..., n_c - 1:blk_fft]
-    cc = cb.reshape(cb.shape[0], cb.shape[1], m * V)[:, :, :out_len]
+    cb = jnp.fft.irfft(spec, blk_fft, axis=-1)  # [S, Dmax, m, blk]
 
     powsafe = jnp.where(power == 0, jnp.inf, power)
     if _use_pallas():
-        from detex_tpu.ops.pallas_kernels import ds_finalize
+        from detex_tpu.ops.pallas_kernels import ds_finalize_os
         su = jnp.where(d_mask, sum_u, 0.0)
-        return ds_finalize(cc, a, powsafe, su)
+        S, Dmax = su.shape
+        # pad the window stats to the blocked output grid; the pad tail
+        # (>= out_len) is sliced off below
+        ap = jnp.pad(a, (0, m * V - out_len))
+        pp = jnp.pad(powsafe, (0, m * V - out_len), constant_values=1.0)
+        ds = ds_finalize_os(cb.reshape(S * Dmax, m, blk_fft), ap, pp,
+                            su.reshape(S * Dmax), n_c, Dmax)
+        return ds[:, :out_len]
+    cc = cb[..., n_c - 1:blk_fft].reshape(
+        cb.shape[0], cb.shape[1], m * V)[:, :, :out_len]
     y = cc - sum_u[:, :, None] * a[None, None, :]
     y = jnp.where(d_mask[:, :, None], y, 0.0)
     num = jnp.sum(y * y, axis=1)

@@ -98,3 +98,69 @@ def ds_finalize_xla(cc, a, power, sum_u):
     y = cc - sum_u[:, :, None] * a[None, None, :]
     num = jnp.sum(y * y, axis=1)
     return num / power[None, :]
+
+
+def _finalize_os_kernel(cb_ref, a_ref, power_ref, sum_u_ref, out_ref, *,
+                        n_c, D):
+    cb = cb_ref[...]                    # [sd, 1, blk] one OS block
+    x = cb[:, 0, n_c - 1:]              # valid part [sd, V]
+    a = a_ref[...]                      # [1, V]
+    power = power_ref[...]              # [1, V]
+    su = sum_u_ref[...]                 # [sd, 1]
+    y = x - su * a
+    S = out_ref.shape[0]
+    y2 = (y * y).reshape(S, D, x.shape[1]).sum(axis=1)
+    out_ref[...] = y2 / power
+
+
+@partial(jax.jit, static_argnames=("n_c", "D", "interpret"))
+def ds_finalize_os(cb, a, power, sum_u, n_c, D, interpret=False):
+    """
+    Fused DS finalize over RAW overlap-save irfft blocks.
+
+    Instead of materializing the trimmed/reshaped correlation array
+    (``cb[..., n_c-1:].reshape(S, D, m*V)`` — an HBM-scale copy at large
+    template counts), each grid step loads one OS block straight from the
+    irfft output, discards its circularly-contaminated head in VMEM, and
+    writes the DS tile.
+
+    Parameters
+    ----------
+    cb : [S*D, m, blk] irfft of the per-block cross-spectra (untrimmed)
+    a : [m*V] rolling mean, zero-padded past the valid output length
+    power : [m*V] rolling power, padded with 1.0
+    sum_u : [S*D] basis-vector sums
+    n_c, D : per-channel template length, basis dimension
+
+    Returns
+    -------
+    ds [S, m*V]; the caller slices to the true output length.
+    """
+    SD, m, blk = cb.shape
+    S = SD // D
+    V = blk - n_c + 1
+    assert a.shape[0] == m * V and power.shape[0] == m * V
+    # S-axis tiling keeping each cb tile a few MB of VMEM
+    budget = 2 * 1024 * 1024 // 4
+    st = max(1, min(S, budget // max(D * blk, 1)))
+    while S % st:
+        st -= 1
+    grid = (m, S // st)
+    kern = partial(_finalize_os_kernel, n_c=n_c, D=D)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((st * D, 1, blk), lambda i, j: (j, i, 0),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, V), lambda i, j: (0, i), memory_space=_VMEM),
+            pl.BlockSpec((1, V), lambda i, j: (0, i), memory_space=_VMEM),
+            pl.BlockSpec((st * D, 1), lambda i, j: (j, 0),
+                         memory_space=_VMEM),
+        ],
+        out_specs=pl.BlockSpec((st, V), lambda i, j: (j, i),
+                               memory_space=_VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, m * V), cb.dtype),
+        interpret=interpret,
+    )(cb, a[None, :], power[None, :], sum_u.reshape(SD, 1))
+    return out

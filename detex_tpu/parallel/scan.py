@@ -127,6 +127,19 @@ def _ds_of(x, arrs, demux, n_c, nc, nfft):
 
 TEMPLATE_BLOCK = 128  # S-axis block bounding the per-chunk HBM footprint
 
+# above this DS length the trigger extractor switches to the block-max
+# pyramid (same outputs; the flat scan's [S, L] carry dominates HBM traffic
+# at large template counts)
+PYRAMID_MIN_LEN = 4096
+
+
+def _extract(v, t, buff_samps, max_trig):
+    if v.shape[0] >= PYRAMID_MIN_LEN:
+        return _triggers.extract_triggers_pyramid(v, t, buff_samps,
+                                                  max_triggers=max_trig)
+    return _triggers.extract_triggers_topk(v, t, buff_samps,
+                                           max_triggers=max_trig)
+
 
 def _chunk_fn(x, nv, arrs, thresholds, bins, demux, n_c, nc, nfft,
               buff_samps, max_trig, S):
@@ -149,8 +162,7 @@ def _chunk_fn(x, nv, arrs, thresholds, bins, demux, n_c, nc, nfft,
         maxds = jnp.max(ds, axis=-1)                           # [s]
 
         def trig_one(v, t):
-            idx, cnt = _triggers.extract_triggers_topk(
-                v, t, buff_samps, max_triggers=max_trig)
+            idx, cnt = _extract(v, t, buff_samps, max_trig)
             vals = jnp.where(idx >= 0, v[jnp.clip(idx, 0, v.shape[0] - 1)],
                              jnp.nan)
             return idx, vals, cnt
@@ -230,8 +242,7 @@ def _chunk_fn_raw(xc, Lv, H, arrs, thresholds, bins, n_c, nc, nfft,
     maxds = jnp.max(ds, axis=-1)
 
     def trig_one(v, th):
-        idx, cnt = _triggers.extract_triggers_topk(v, th, buff_samps,
-                                                   max_triggers=max_trig)
+        idx, cnt = _extract(v, th, buff_samps, max_trig)
         vals = jnp.where(idx >= 0, v[jnp.clip(idx, 0, v.shape[0] - 1)],
                          jnp.nan)
         return idx, vals, cnt

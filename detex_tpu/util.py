@@ -22,8 +22,9 @@ from detex_tpu.interop import (  # noqa: F401  (re-exports, ref util.py API)
     inventory2StationKey, makeHypoInversePhaseFile,
     makeHypoInverseStationFile, readANF, readHypo2000Sum, readHypo71Sum,
     templateKey2Catalog, writeHypoDDEventInput, writeHypoDDStationInput,
-    writeKMLFromDF, writeKMLFromEQSearchSum, writeKMLFromHypDD,
-    writeKMLFromStationKey, writeKMLFromTemplateKey, writePhaseNLL)
+    writeKMLFromArcDF, writeKMLFromDF, writeKMLFromEQSearchSum,
+    writeKMLFromHypDD, writeKMLFromHypInv, writeKMLFromStationKey,
+    writeKMLFromTemplateKey, writeKMLfromHYPInput, writePhaseNLL)
 
 # ---------------------------------------------------------------------------
 # SQLite persistence (reference util.py:870-931)
@@ -152,6 +153,24 @@ def saveObject(obj, filename):
 # Phase picking (file-based; replaces the reference's PyQt4 GUI workflow,
 # util.py:1006-1101 + streamPick.py)
 # ---------------------------------------------------------------------------
+
+
+def get_number_channels(st):
+    """Number of unique channels in a single-station stream (reference
+    util.py:992-1002)."""
+    if len({tr.stats.station for tr in st}) > 1:
+        detex_tpu.log(__name__, "function only takes streams with exactly "
+                      "1 station", level="error")
+    return len({tr.stats.channel for tr in st})
+
+
+def seeWaveFroms(*args, **kwargs):
+    """The reference's GUI template browser/picker (util.py:1104-1190,
+    PyQt4-bound and non-functional as shipped); not supported in detex_tpu.
+    Use autoPickPhases for the same PhasePicks.csv output."""
+    detex_tpu.log(__name__, "interactive seeWaveFroms GUI is not supported "
+                  "in detex_tpu; use detex_tpu.util.autoPickPhases",
+                  level="error", e=NotImplementedError)
 
 
 def pickPhases(*args, **kwargs):

@@ -111,3 +111,50 @@ def test_readhypo2000sum(tmp_path):
     assert len(df) == 1
     assert abs(df.Lat.iloc[0] - (38 + (30 + 10 / 100) / 60)) < 1e-6
     assert df.DateString.iloc[0].startswith("2009-04-01T12-30-45")
+
+
+def test_writekml_hypinv_and_hypinput(tmp_path):
+    import pandas as pd
+
+    # sum2000-format line (same synthetic fixture as test_readhypo2000sum)
+    l = list(" " * 100)
+    l[0:16] = "2009040112304510"
+    l[16:18] = "38"; l[19:21] = "30"; l[21:23] = "10"
+    l[23:26] = "111"; l[27:29] = "45"; l[29:31] = "50"
+    l[31:36] = "07500"; l[48:52] = "0150"; l[85:93] = "01500250"
+    p = tmp_path / "sum2000"
+    p.write_text("".join(l) + "\n")
+    out = interop.writeKMLFromHypInv(str(p), str(tmp_path / "hi.kml"))
+    txt = open(out).read()
+    assert "<Placemark>" in txt and "2009040112" in txt
+
+    # phase-input terminator line: 6 leading spaces, lat/lon fields
+    t = list(" " * 40)
+    t[14:16] = "38"; t[17:19] = "30"; t[19:21] = "10"
+    t[21:24] = "111"; t[25:27] = "45"; t[27:29] = "50"
+    q = tmp_path / "in.pha"
+    q.write_text("SOMEPHASELINE.............\n" + "".join(t) + "\n")
+    out2 = interop.writeKMLfromHYPInput(str(q), str(tmp_path / "in.kml"))
+    txt2 = open(out2).read()
+    assert "<Placemark>" in txt2
+    assert "%f" % -(111 + (45 + 50 / 100) / 60.0) in txt2
+
+    # Arc-style DataFrame
+    df = pd.DataFrame({"verlat": [40.5], "verlon": [-111.2]}, index=[3])
+    out3 = interop.writeKMLFromArcDF(df, str(tmp_path / "arc.kml"))
+    assert "<name>3</name>" in open(out3).read()
+
+
+def test_get_number_channels_and_seewavefroms():
+    import pytest
+
+    from detex_tpu import util
+    from detex_tpu.core.stream import Stream, Trace
+    import numpy as np
+
+    trs = [Trace(np.zeros(10), header=dict(station="S00", channel=c,
+                                           sampling_rate=10.0))
+           for c in ("BHZ", "BHN", "BHE", "BHZ")]
+    assert util.get_number_channels(Stream(traces=trs)) == 3
+    with pytest.raises(NotImplementedError):
+        util.seeWaveFroms()

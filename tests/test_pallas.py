@@ -22,6 +22,61 @@ def test_ds_finalize_matches_xla(rng, S, D, L):
                        atol=1e-6)
 
 
+@pytest.mark.parametrize("S,D,m,blk,n_c", [(4, 1, 3, 512, 100),
+                                           (2, 3, 2, 256, 33),
+                                           (1, 2, 4, 1024, 257)])
+def test_ds_finalize_os_matches_xla(rng, S, D, m, blk, n_c):
+    """OS-block finalize == trim-then-finalize on the same irfft output."""
+    V = blk - n_c + 1
+    out_len = m * V - rng.integers(0, V)   # ragged tail like production
+    cb = jnp.asarray(rng.standard_normal((S * D, m, blk)), jnp.float32)
+    a = jnp.asarray(rng.standard_normal(m * V) * 0.01, jnp.float32)
+    power = jnp.asarray(np.abs(rng.standard_normal(m * V)) + 0.5,
+                        jnp.float32)
+    sum_u = jnp.asarray(rng.standard_normal(S * D), jnp.float32)
+    got = pk.ds_finalize_os(cb, a, power, sum_u, n_c, D, interpret=True)
+    cc = np.asarray(cb)[:, :, n_c - 1:].reshape(S, D, m * V)
+    want = pk.ds_finalize_xla(jnp.asarray(cc), a, power,
+                              jnp.asarray(sum_u).reshape(S, D))
+    assert got.shape == (S, m * V)
+    assert np.allclose(np.asarray(got)[:, :out_len],
+                       np.asarray(want)[:, :out_len], rtol=1e-5, atol=1e-6)
+
+
+def test_ds_bank_demux_os_pallas_path(rng, monkeypatch):
+    """The full OS bank kernel with the pallas finalize forced on
+    (interpret falls back automatically off-TPU? No — force interpret by
+    patching) must match the XLA path bit-for-bit-ish."""
+    import detex_tpu.ops.ds as dsops
+    from detex_tpu.ops import pallas_kernels as pkm
+
+    nc = 3
+    n = 300
+    Lc = 3 * 4096
+    U = rng.standard_normal((2, n))
+    U /= np.linalg.norm(U, axis=1, keepdims=True)
+    bank = dsops.build_bank([U], nc, Lc, block_fft=512)
+    assert bank.get("os")
+    x = rng.standard_normal(Lc).astype(np.float32)
+
+    want = dsops.run_bank(x, bank, nc)       # XLA path (pallas off on CPU)
+
+    orig = pkm.ds_finalize_os
+
+    def interp(cb, a, power, sum_u, n_c, D, interpret=False):
+        return orig(cb, a, power, sum_u, n_c, D, interpret=True)
+
+    monkeypatch.setattr(pkm, "ds_finalize_os", interp)
+    monkeypatch.setenv("DETEX_TPU_PALLAS", "1")
+    # _use_pallas() is read at trace time: force a retrace
+    dsops.ds_bank_demux_os.clear_cache()
+    try:
+        got = dsops.run_bank(x, bank, nc)
+    finally:
+        dsops.ds_bank_demux_os.clear_cache()
+    assert np.allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_ds_finalize_masked_slots(rng):
     """Zero-padded basis slots (cc==0, sum_u==0) must not affect the sum."""
     S, D, L = 2, 3, 2048

@@ -61,6 +61,67 @@ def test_triggers_topk_matches_while(rng):
         np.asarray(i2)[:int(c2)].tolist()
 
 
+def _planted(rng, L, npk, tails=0):
+    C = np.abs(rng.standard_normal(L)).astype(np.float32) * 0.05
+    pos = rng.choice(L - tails, size=npk, replace=False)
+    C[pos] = rng.uniform(0.4, 1.0, size=npk)
+    if tails:
+        C[-tails:] = -np.inf  # masked pad windows, as the scan path emits
+    return C
+
+
+def test_triggers_pyramid_matches_topk(rng):
+    for L, buff, tails in [(20000, 500, 0), (20000, 500, 3000),
+                           (8191, 300, 100), (4096, 4096, 0),
+                           (50001, 37, 0), (6000, 1, 0)]:
+        C = _planted(rng, L, 12, tails)
+        i1, c1 = triggers.extract_triggers_topk(C, 0.5, buff,
+                                                max_triggers=16)
+        i2, c2 = triggers.extract_triggers_pyramid(C, 0.5, buff,
+                                                   max_triggers=16)
+        assert int(c1) == int(c2), (L, buff, tails)
+        assert np.asarray(i1).tolist() == np.asarray(i2).tolist(), \
+            (L, buff, tails)
+
+
+def test_triggers_pyramid_ties_and_quantized(rng):
+    # heavy ties: quantized values exercise first-occurrence argmax parity
+    C = np.round(np.abs(rng.standard_normal(30000)) * 4) / 4
+    C = C.astype(np.float32)
+    i1, c1 = triggers.extract_triggers_topk(C, 0.75, 200, max_triggers=32)
+    i2, c2 = triggers.extract_triggers_pyramid(C, 0.75, 200,
+                                               max_triggers=32)
+    assert int(c1) == int(c2)
+    assert np.asarray(i1).tolist() == np.asarray(i2).tolist()
+
+
+def test_triggers_pyramid_dense_overflow(rng):
+    # more peaks than capacity; suppression windows overlap heavily
+    C = np.zeros(40000, np.float32)
+    C[::97] = np.linspace(0.5, 1.0, len(C[::97])).astype(np.float32)
+    for buff in (50, 1000, 39999):
+        i1, c1 = triggers.extract_triggers_topk(C, 0.5, buff,
+                                                max_triggers=8)
+        i2, c2 = triggers.extract_triggers_pyramid(C, 0.5, buff,
+                                                   max_triggers=8)
+        assert int(c1) == int(c2)
+        assert np.asarray(i1).tolist() == np.asarray(i2).tolist()
+
+
+def test_triggers_pyramid_vmap(rng):
+    import jax
+    C = np.stack([_planted(rng, 16384, 8) for _ in range(5)])
+    th = np.full(5, 0.5, np.float32)
+    f = jax.vmap(lambda v, t: triggers.extract_triggers_pyramid(
+        v, t, 400, max_triggers=8))
+    g = jax.vmap(lambda v, t: triggers.extract_triggers_topk(
+        v, t, 400, max_triggers=8))
+    i1, c1 = f(C, th)
+    i2, c2 = g(C, th)
+    assert np.array_equal(np.asarray(c1), np.asarray(c2))
+    assert np.array_equal(np.asarray(i1), np.asarray(i2))
+
+
 def stalta_oracle(C, LTA, STA):
     """Reference _getStaLtaArray with pandas (detect.py:501-524)."""
     C = np.asarray(C, dtype=np.float64)
