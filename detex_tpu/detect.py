@@ -350,7 +350,8 @@ class _SSDetex(object):
                         hist, maxds, *_ = _pscan.scan_chunks_raw(
                             Xc, lens, bank["H"], bank, th, nc,
                             buff_samps=1, bins=bins, max_trig=1,
-                            dec=self.dpDec, mesh=mesh)
+                            dec=self.dpDec, mesh=mesh,
+                            calc_hist=self.calcHist)
                 else:
                     X = np.zeros((B, pad), np.float32)
                     lens = []
@@ -365,7 +366,7 @@ class _SSDetex(object):
                             X, bank, th, nc,
                             buff_samps=1,  # device trigger list unused
                             bins=bins, max_trig=1, valid_lens=lens,
-                            mesh=mesh)
+                            mesh=mesh, calc_hist=self.calcHist)
                 hist = np.asarray(hist)
                 maxds = np.asarray(maxds)
                 # gate margins: triggered chunks are re-verified host-side,

@@ -283,7 +283,10 @@ def ds_bank_demux_os(x, Ufd2, sum_u, d_mask, n_c, nc, blk_fft):
     n = n_c * nc
     out_len = L_c - n_c + 1
     V = blk_fft - n_c + 1                       # valid outputs per block
-    m = -(-out_len // V)                        # block count
+    # block advance: lane-aligned when possible so the fused pallas
+    # finalize can tile the output grid (a few % extra block overlap)
+    W = (V // 128) * 128 or V
+    m = -(-out_len // W)                        # block count
     mu = jnp.mean(x)
     sd = jnp.std(x)
     xs = (x - mu) / jnp.where(sd == 0, 1.0, sd)
@@ -297,7 +300,7 @@ def ds_bank_demux_os(x, Ufd2, sum_u, d_mask, n_c, nc, blk_fft):
     power = jnp.maximum(var_samp, 0.0) * n
 
     # overlapping data blocks, transformed once for every template
-    idx = (jnp.arange(m)[:, None] * V + jnp.arange(blk_fft)[None, :])
+    idx = (jnp.arange(m)[:, None] * W + jnp.arange(blk_fft)[None, :])
     valid = idx < L_c
     xb = jnp.take(xc, jnp.minimum(idx, L_c - 1), axis=1) \
         * valid[None, :, :].astype(xc.dtype)    # [nc, m, blk]
@@ -306,19 +309,22 @@ def ds_bank_demux_os(x, Ufd2, sum_u, d_mask, n_c, nc, blk_fft):
     cb = jnp.fft.irfft(spec, blk_fft, axis=-1)  # [S, Dmax, m, blk]
 
     powsafe = jnp.where(power == 0, jnp.inf, power)
-    if _use_pallas():
-        from detex_tpu.ops.pallas_kernels import ds_finalize_os
-        su = jnp.where(d_mask, sum_u, 0.0)
-        S, Dmax = su.shape
-        # pad the window stats to the blocked output grid; the pad tail
-        # (>= out_len) is sliced off below
-        ap = jnp.pad(a, (0, m * V - out_len))
-        pp = jnp.pad(powsafe, (0, m * V - out_len), constant_values=1.0)
-        ds = ds_finalize_os(cb.reshape(S * Dmax, m, blk_fft), ap, pp,
-                            su.reshape(S * Dmax), n_c, Dmax)
-        return ds[:, :out_len]
-    cc = cb[..., n_c - 1:blk_fft].reshape(
-        cb.shape[0], cb.shape[1], m * V)[:, :, :out_len]
+    S, Dmax = sum_u.shape
+    if _use_pallas() and W % 128 == 0:
+        from detex_tpu.ops.pallas_kernels import (ds_finalize_os,
+                                                  os_finalize_tile_rows)
+        if os_finalize_tile_rows(S, Dmax, blk_fft) > 0:
+            su = jnp.where(d_mask, sum_u, 0.0)
+            # pad the window stats to the blocked output grid; the pad
+            # tail (>= out_len) is sliced off below
+            ap = jnp.pad(a, (0, m * W - out_len))
+            pp = jnp.pad(powsafe, (0, m * W - out_len),
+                         constant_values=1.0)
+            ds = ds_finalize_os(cb.reshape(S * Dmax, m, blk_fft), ap, pp,
+                                su.reshape(S * Dmax), n_c, Dmax, W)
+            return ds[:, :out_len]
+    cc = cb[..., n_c - 1:n_c - 1 + W].reshape(
+        S, Dmax, m * W)[:, :, :out_len]
     y = cc - sum_u[:, :, None] * a[None, None, :]
     y = jnp.where(d_mask[:, :, None], y, 0.0)
     num = jnp.sum(y * y, axis=1)

@@ -100,67 +100,162 @@ def ds_finalize_xla(cc, a, power, sum_u):
     return num / power[None, :]
 
 
+def _hist_kernel(ds_ref, kio_ref, out_ref, *, nbin):
+    """Accumulate exact per-row bin counts of one [st, T] DS tile into
+    [st, g, g] via a two-level one-hot outer product on the MXU.
+
+    Bin index = floor(v * nbin) over [0, 1] with the right edge inclusive
+    (np.histogram semantics for uniform bins); out-of-range values are
+    excluded. nbin must be a perfect square (20x20 for the 400-bin detex
+    histogram). One-hots are built per row with 2-D ops only (Mosaic
+    rejects 3-D iota / tiny-minor-dim 3-D vectors)."""
+    li = pl.program_id(1)  # L-tile index: innermost, so the accumulator
+                           # block stays VMEM-resident across steps
+
+    @pl.when(li == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    g = int(round(nbin ** 0.5))
+    v = ds_ref[...]                                   # [st, T]
+    idx = jnp.floor(v * nbin)
+    idx = jnp.where(v == 1.0, nbin - 1.0, idx)        # right-inclusive
+    valid = (v >= 0.0) & (v <= 1.0)
+    coarse = jnp.floor(idx * (1.0 / g))
+    fine = idx - coarse * g
+    kio = kio_ref[...]                                # [g, 1] = 0..g-1
+    # strictly 2-D ops: [1, T] row slices against the [g, 1] bin column
+    # broadcast to [g, T] one-hots (Mosaic rejects 1-D reshapes)
+    for s in range(v.shape[0]):                       # static unroll
+        A = ((coarse[s:s + 1, :] == kio) &
+             valid[s:s + 1, :]).astype(jnp.float32)   # [g, T]
+        B = (fine[s:s + 1, :] == kio).astype(jnp.float32)
+        cnt = jax.lax.dot_general(
+            A, B, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # [g, g]
+        out_ref[s] += cnt
+
+
+@partial(jax.jit, static_argnames=("nbin", "tile", "interpret"))
+def hist_uniform(ds, nbin=400, tile=2048, interpret=False):
+    """
+    Exact uniform-bin histogram of each DS row over [0, 1]:
+    ds [S, L] -> counts [S, nbin] (float32; integral values).
+
+    Replaces the sort+searchsorted histogram on the scan hot path — a row
+    sort of hour-chunk DS at a 128-template block costs ~120 ms on TPU v5e
+    vs a few ms for this outer-product counting kernel. Binning uses
+    floor(v*nbin) (right edge inclusive), which can disagree with
+    searchsorted on float32 edge representations for values within an ULP
+    of a bin edge — statistically irrelevant for the FAS fits and hist
+    tables this feeds.
+    """
+    S, L = ds.shape
+    g = int(round(nbin ** 0.5))
+    assert g * g == nbin, "nbin must be a perfect square"
+    st = 8 if S % 8 == 0 else S   # small: the kernel unrolls rows
+    T = tile
+    Lp = (L + T - 1) // T * T
+    dsp = jnp.pad(ds, ((0, 0), (0, Lp - L)), constant_values=-1.0)
+    kio = jnp.arange(g, dtype=jnp.float32)[:, None]
+    grid = (S // st, Lp // T)
+    out = pl.pallas_call(
+        partial(_hist_kernel, nbin=nbin),
+        grid=grid,
+        in_specs=[pl.BlockSpec((st, T), lambda s, l: (s, l),
+                               memory_space=_VMEM),
+                  pl.BlockSpec((g, 1), lambda s, l: (0, 0),
+                               memory_space=_VMEM)],
+        out_specs=pl.BlockSpec((st, g, g), lambda s, l: (s, 0, 0),
+                               memory_space=_VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, g, g), jnp.float32),
+        interpret=interpret,
+    )(dsp, kio)
+    return out.reshape(S, nbin)
+
+
 def _finalize_os_kernel(cb_ref, a_ref, power_ref, sum_u_ref, out_ref, *,
-                        n_c, D):
-    cb = cb_ref[...]                    # [sd, 1, blk] one OS block
-    x = cb[:, 0, n_c - 1:]              # valid part [sd, V]
-    a = a_ref[...]                      # [1, V]
-    power = power_ref[...]              # [1, V]
+                        n_c, D, W):
+    cb = cb_ref[...]                    # [sd, blk] one OS block
+    x = cb[:, n_c - 1:n_c - 1 + W]      # valid part [sd, W]
+    a = a_ref[...]                      # [1, W]
+    power = power_ref[...]              # [1, W]
     su = sum_u_ref[...]                 # [sd, 1]
     y = x - su * a
     S = out_ref.shape[0]
-    y2 = (y * y).reshape(S, D, x.shape[1]).sum(axis=1)
+    y2 = (y * y).reshape(S, D, W).sum(axis=1)
     out_ref[...] = y2 / power
 
 
-@partial(jax.jit, static_argnames=("n_c", "D", "interpret"))
-def ds_finalize_os(cb, a, power, sum_u, n_c, D, interpret=False):
+# cb VMEM tile budget (bytes); configs whose smallest legal tile exceeds it
+# fall back to the XLA finalize. Keep small: Mosaic stacks the in-kernel
+# temporaries (sliced x, y, y^2, ds) on top of the double-buffered in/out
+# tiles inside the 16 MB scoped-vmem limit (measured OOM at 6 MB tiles).
+_OS_TILE_BUDGET = 2 * 1024 * 1024
+
+
+def os_finalize_tile_rows(S, D, blk):
+    """S-rows per tile for ds_finalize_os, honoring the TPU lowering rule
+    (last two block dims divisible by (8, 128) or equal to the array dims)
+    and the VMEM budget. 0 = unsupported (use the XLA path)."""
+    if S * D * blk * 4 <= _OS_TILE_BUDGET:
+        return S
+    if S % 8:
+        return 0
+    st = 8
+    while S % (st * 2) == 0 and st * 2 <= S and \
+            (st * 2) * D * blk * 4 <= _OS_TILE_BUDGET:
+        st *= 2
+    return 0 if st * D * blk * 4 > _OS_TILE_BUDGET else st
+
+
+@partial(jax.jit, static_argnames=("n_c", "D", "W", "interpret"))
+def ds_finalize_os(cb, a, power, sum_u, n_c, D, W, interpret=False):
     """
     Fused DS finalize over RAW overlap-save irfft blocks.
 
     Instead of materializing the trimmed/reshaped correlation array
-    (``cb[..., n_c-1:].reshape(S, D, m*V)`` — an HBM-scale copy at large
-    template counts), each grid step loads one OS block straight from the
-    irfft output, discards its circularly-contaminated head in VMEM, and
-    writes the DS tile.
+    (``cb[..., n_c-1:n_c-1+W].reshape(S, D, m*W)`` — an HBM-scale copy at
+    large template counts), each grid step loads one OS block straight from
+    the irfft output, discards its circularly-contaminated head in VMEM,
+    and writes the DS tile.
 
     Parameters
     ----------
     cb : [S*D, m, blk] irfft of the per-block cross-spectra (untrimmed)
-    a : [m*V] rolling mean, zero-padded past the valid output length
-    power : [m*V] rolling power, padded with 1.0
+    a : [m*W] rolling mean, zero-padded past the valid output length
+    power : [m*W] rolling power, padded with 1.0
     sum_u : [S*D] basis-vector sums
     n_c, D : per-channel template length, basis dimension
+    W : outputs consumed per OS block (the block advance); must be
+        lane-aligned (multiple of 128) for the compiled TPU path
 
     Returns
     -------
-    ds [S, m*V]; the caller slices to the true output length.
+    ds [S, m*W]; the caller slices to the true output length.
     """
     SD, m, blk = cb.shape
     S = SD // D
-    V = blk - n_c + 1
-    assert a.shape[0] == m * V and power.shape[0] == m * V
-    # S-axis tiling keeping each cb tile a few MB of VMEM
-    budget = 2 * 1024 * 1024 // 4
-    st = max(1, min(S, budget // max(D * blk, 1)))
-    while S % st:
-        st -= 1
+    assert a.shape[0] == m * W and power.shape[0] == m * W
+    st = os_finalize_tile_rows(S, D, blk)
+    assert st > 0, "caller must check os_finalize_tile_rows/W first"
     grid = (m, S // st)
-    kern = partial(_finalize_os_kernel, n_c=n_c, D=D)
+    kern = partial(_finalize_os_kernel, n_c=n_c, D=D, W=W)
     out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((st * D, 1, blk), lambda i, j: (j, i, 0),
+            pl.BlockSpec((st * D, blk), lambda i, j: (j, i),
                          memory_space=_VMEM),
-            pl.BlockSpec((1, V), lambda i, j: (0, i), memory_space=_VMEM),
-            pl.BlockSpec((1, V), lambda i, j: (0, i), memory_space=_VMEM),
+            pl.BlockSpec((1, W), lambda i, j: (0, i), memory_space=_VMEM),
+            pl.BlockSpec((1, W), lambda i, j: (0, i), memory_space=_VMEM),
             pl.BlockSpec((st * D, 1), lambda i, j: (j, 0),
                          memory_space=_VMEM),
         ],
-        out_specs=pl.BlockSpec((st, V), lambda i, j: (j, i),
+        out_specs=pl.BlockSpec((st, W), lambda i, j: (j, i),
                                memory_space=_VMEM),
-        out_shape=jax.ShapeDtypeStruct((S, m * V), cb.dtype),
+        out_shape=jax.ShapeDtypeStruct((S, m * W), cb.dtype),
         interpret=interpret,
-    )(cb, a[None, :], power[None, :], sum_u.reshape(SD, 1))
+    )(cb.reshape(SD, m * blk), a[None, :], power[None, :],
+      sum_u.reshape(SD, 1))
     return out

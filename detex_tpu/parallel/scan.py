@@ -69,6 +69,29 @@ def _hist_counts(ds, bins):
     return jnp.diff(pos).astype(jnp.int32)
 
 
+def _uniform_nbin(bins):
+    """nbin if ``bins`` are the uniform [0, 1] edges the pallas counting
+    histogram supports (perfect-square bin count), else 0."""
+    b = np.asarray(bins)
+    n = len(b) - 1
+    g = int(round(n ** 0.5))
+    if g * g != n:
+        return 0
+    if not np.allclose(b, np.linspace(0.0, 1.0, n + 1), atol=1e-9):
+        return 0
+    return n
+
+
+def _hist_rows(ds, bins, uniform_nbin):
+    """Per-row histogram of ds [s, L]: the MXU counting kernel on TPU for
+    uniform bins (the row sort dominates scan cost at large banks), else
+    the sort+searchsorted path."""
+    if uniform_nbin and _ds._use_pallas():
+        from detex_tpu.ops.pallas_kernels import hist_uniform
+        return hist_uniform(ds, nbin=uniform_nbin).astype(jnp.int32)
+    return jax.vmap(lambda v: _hist_counts(v, bins))(ds)
+
+
 def _bank_arrays(bank):
     """The device arrays of a bank (leading pytree args for jit), with the
     template axis pre-blocked (host-side, cached on the bank dict) when the
@@ -142,7 +165,7 @@ def _extract(v, t, buff_samps, max_trig):
 
 
 def _chunk_fn(x, nv, arrs, thresholds, bins, demux, n_c, nc, nfft,
-              buff_samps, max_trig, S):
+              buff_samps, max_trig, S, calc_hist=True, uniform_nbin=0):
     """Process one chunk: DS for the whole bank + hist + triggers.
     ``nv`` is the number of valid DS samples (windows fully inside real
     data — ragged chunks are zero-padded to the bank's pad_len and the pad
@@ -158,7 +181,10 @@ def _chunk_fn(x, nv, arrs, thresholds, bins, demux, n_c, nc, nfft,
     def finish(ds, th):
         pos = jnp.arange(ds.shape[-1])
         ds = jnp.where(pos[None, :] < nv, ds, -jnp.inf)
-        hist = jax.vmap(lambda v: _hist_counts(v, bins))(ds)   # [s, nbins]
+        if calc_hist:
+            hist = _hist_rows(ds, bins, uniform_nbin)
+        else:  # skip the per-detector histogram entirely (calcHist=False)
+            hist = jnp.zeros((ds.shape[0], bins.shape[0] - 1), jnp.int32)
         maxds = jnp.max(ds, axis=-1)                           # [s]
 
         def trig_one(v, t):
@@ -185,11 +211,14 @@ def _chunk_fn(x, nv, arrs, thresholds, bins, demux, n_c, nc, nfft,
 
 
 @partial(jax.jit, static_argnames=("demux", "n_c", "nc", "nfft",
-                                   "buff_samps", "max_trig", "S"))
+                                   "buff_samps", "max_trig", "S",
+                                   "calc_hist", "uniform_nbin"))
 def _scan_chunks_jit(X, NV, arrs, thresholds, bins, demux, n_c, nc, nfft,
-                     buff_samps, max_trig, S):
+                     buff_samps, max_trig, S, calc_hist=True,
+                     uniform_nbin=0):
     f = lambda xn: _chunk_fn(xn[0], xn[1], arrs, thresholds, bins,  # noqa
-                             demux, n_c, nc, nfft, buff_samps, max_trig, S)
+                             demux, n_c, nc, nfft, buff_samps, max_trig, S,
+                             calc_hist, uniform_nbin)
     # lax.map (not vmap): compiles the chunk body once — these are
     # million-sample chunks, so batching buys no fusion but multiplies the
     # program size (and remote compile time) by B
@@ -206,15 +235,18 @@ def _valid_lens(bank, nc, X, valid_lens):
 
 
 def scan_chunks(X, bank, thresholds, nc, buff_samps, bins=None, max_trig=64,
-                valid_lens=None, mesh=None):
+                valid_lens=None, mesh=None, calc_hist=True):
     """Batched scan: X [B, Lc] -> (hist, maxds, trig...).
     ``valid_lens`` (optional, [B]) gives each chunk's true multiplexed
     sample count when rows are zero-padded. With ``mesh`` the batch is
-    chunk-sharded across the mesh (padded to a multiple of its size)."""
+    chunk-sharded across the mesh (padded to a multiple of its size).
+    ``calc_hist=False`` skips the per-detector DS histogram (its row sort
+    is a large share of scan cost at big banks); hist returns zeros."""
     if mesh is not None and mesh.size > 1:
         return scan_chunks_sharded(mesh, X, bank, thresholds, nc, buff_samps,
                                    bins=bins, max_trig=max_trig,
-                                   valid_lens=valid_lens)
+                                   valid_lens=valid_lens,
+                                   calc_hist=calc_hist)
     if bins is None:
         bins = DEFAULT_BINS
     st = _bank_statics(bank, nc)
@@ -226,11 +258,13 @@ def scan_chunks(X, bank, thresholds, nc, buff_samps, bins=None, max_trig=64,
                             _blocked_thresholds(bank, thresholds),
                             jnp.asarray(bins, jnp.float32), st["demux"],
                             st["n_c"], st["nc"], st["nfft"],
-                            int(buff_samps), int(max_trig), st["S"])
+                            int(buff_samps), int(max_trig), st["S"],
+                            bool(calc_hist), _uniform_nbin(bins))
 
 
 def _chunk_fn_raw(xc, Lv, H, arrs, thresholds, bins, n_c, nc, nfft,
-                  buff_samps, max_trig, dec=1):
+                  buff_samps, max_trig, dec=1, calc_hist=True,
+                  uniform_nbin=0):
     """Raw-channel variant of _chunk_fn with fused device preprocessing."""
     from detex_tpu.ops.prep import ds_bank_demux_raw
     ds = ds_bank_demux_raw(xc, Lv, H, arrs[0], arrs[1], arrs[2], n_c, nc,
@@ -238,7 +272,10 @@ def _chunk_fn_raw(xc, Lv, H, arrs, thresholds, bins, n_c, nc, nfft,
     nv = (Lv // dec) - n_c + 1
     pos = jnp.arange(ds.shape[-1])
     ds = jnp.where(pos[None, :] < nv, ds, -jnp.inf)
-    hist = jax.vmap(lambda v: _hist_counts(v, bins))(ds)
+    if calc_hist:
+        hist = _hist_rows(ds, bins, uniform_nbin)
+    else:
+        hist = jnp.zeros((ds.shape[0], bins.shape[0] - 1), jnp.int32)
     maxds = jnp.max(ds, axis=-1)
 
     def trig_one(v, th):
@@ -252,18 +289,21 @@ def _chunk_fn_raw(xc, Lv, H, arrs, thresholds, bins, n_c, nc, nfft,
 
 
 @partial(jax.jit, static_argnames=("n_c", "nc", "nfft", "buff_samps",
-                                   "max_trig", "dec"))
+                                   "max_trig", "dec", "calc_hist",
+                                   "uniform_nbin"))
 def _scan_chunks_raw_jit(Xc, LV, H, arrs, thresholds, bins, n_c, nc, nfft,
-                         buff_samps, max_trig, dec):
+                         buff_samps, max_trig, dec, calc_hist=True,
+                         uniform_nbin=0):
     f = lambda xn: _chunk_fn_raw(xn[0], xn[1], H, arrs, thresholds,  # noqa
                                  bins, n_c, nc, nfft, buff_samps, max_trig,
-                                 dec)
+                                 dec, calc_hist, uniform_nbin)
     hist, maxds, tidx, tval, tcnt = jax.lax.map(f, (Xc, LV))
     return hist.sum(axis=0), maxds, tidx, tval, tcnt
 
 
 def scan_chunks_raw(Xc, lens, H, bank, thresholds, nc, buff_samps,
-                    bins=None, max_trig=64, dec=1, mesh=None):
+                    bins=None, max_trig=64, dec=1, mesh=None,
+                    calc_hist=True):
     """
     Batched scan from RAW channels with fused device preprocessing
     (detrend + spectral bandpass + optional spectral decimation):
@@ -273,7 +313,8 @@ def scan_chunks_raw(Xc, lens, H, bank, thresholds, nc, buff_samps,
     if mesh is not None and mesh.size > 1:
         return scan_chunks_raw_sharded(mesh, Xc, lens, H, bank, thresholds,
                                        nc, buff_samps, bins=bins,
-                                       max_trig=max_trig, dec=dec)
+                                       max_trig=max_trig, dec=dec,
+                                       calc_hist=calc_hist)
     if bins is None:
         bins = DEFAULT_BINS
     if not bank.get("demux") or bank.get("os"):
@@ -284,19 +325,21 @@ def scan_chunks_raw(Xc, lens, H, bank, thresholds, nc, buff_samps,
         jnp.asarray(Xc, jnp.float32), jnp.asarray(lens, jnp.int32), H,
         arrs, jnp.asarray(thresholds, jnp.float32),
         jnp.asarray(bins, jnp.float32), bank["n_c"], int(nc),
-        bank["nfft2"], int(buff_samps), int(max_trig), int(dec))
+        bank["nfft2"], int(buff_samps), int(max_trig), int(dec),
+        bool(calc_hist), _uniform_nbin(bins))
 
 
 @lru_cache(maxsize=None)
 def _sharded_scan_fn(mesh, demux, n_c, nc, nfft, buff_samps, max_trig, axis,
-                     S):
+                     S, calc_hist=True, uniform_nbin=0):
     """Build (once per static config) the jitted shard_map scan: chunks
     sharded over ``axis``, DS histogram merged with one psum."""
 
     def shard_body(Xs, NV, arrs, thresholds, bins):
         f = lambda xn: _chunk_fn(xn[0], xn[1], arrs, thresholds,    # noqa
                                  bins, demux, n_c, nc, nfft,
-                                 buff_samps, max_trig, S)
+                                 buff_samps, max_trig, S, calc_hist,
+                                 uniform_nbin)
         hist, maxds, tidx, tval, tcnt = jax.lax.map(f, (Xs, NV))
         hist = jax.lax.psum(hist.sum(axis=0), axis)
         return hist, maxds, tidx, tval, tcnt
@@ -309,13 +352,14 @@ def _sharded_scan_fn(mesh, demux, n_c, nc, nfft, buff_samps, max_trig, axis,
 
 @lru_cache(maxsize=None)
 def _sharded_scan_raw_fn(mesh, n_c, nc, nfft, buff_samps, max_trig, dec,
-                         axis):
+                         axis, calc_hist=True, uniform_nbin=0):
     """Sharded variant of the raw-channel (fused devicePrep) scan."""
 
     def shard_body(Xs, LV, H, arrs, thresholds, bins):
         f = lambda xn: _chunk_fn_raw(xn[0], xn[1], H, arrs,         # noqa
                                      thresholds, bins, n_c, nc, nfft,
-                                     buff_samps, max_trig, dec)
+                                     buff_samps, max_trig, dec, calc_hist,
+                                     uniform_nbin)
         hist, maxds, tidx, tval, tcnt = jax.lax.map(f, (Xs, LV))
         hist = jax.lax.psum(hist.sum(axis=0), axis)
         return hist, maxds, tidx, tval, tcnt
@@ -328,7 +372,7 @@ def _sharded_scan_raw_fn(mesh, n_c, nc, nfft, buff_samps, max_trig, dec,
 
 def scan_chunks_sharded(mesh, X, bank, thresholds, nc, buff_samps,
                         bins=None, max_trig=64, axis="chunks",
-                        valid_lens=None):
+                        valid_lens=None, calc_hist=True):
     """
     Multi-chip scan of chunk batch X [B, Lc]; B is padded up to a multiple
     of the mesh size with fully-masked chunks and the outputs sliced back.
@@ -343,7 +387,8 @@ def scan_chunks_sharded(mesh, X, bank, thresholds, nc, buff_samps,
     nv = _valid_lens(bank, nc, X, valid_lens)
     X, nv, B = _pad_batch(mesh.size, X, nv)
     fn = _sharded_scan_fn(mesh, st["demux"], st["n_c"], int(nc), st["nfft"],
-                          int(buff_samps), int(max_trig), axis, st["S"])
+                          int(buff_samps), int(max_trig), axis, st["S"],
+                          bool(calc_hist), _uniform_nbin(bins))
     hist, maxds, tidx, tval, tcnt = fn(
         jnp.asarray(X), jnp.asarray(nv), _bank_arrays(bank),
         _blocked_thresholds(bank, thresholds),
@@ -353,7 +398,7 @@ def scan_chunks_sharded(mesh, X, bank, thresholds, nc, buff_samps,
 
 def scan_chunks_raw_sharded(mesh, Xc, lens, H, bank, thresholds, nc,
                             buff_samps, bins=None, max_trig=64, dec=1,
-                            axis="chunks"):
+                            axis="chunks", calc_hist=True):
     """Multi-chip raw-channel scan (fused devicePrep); B padded to a
     multiple of the mesh size like scan_chunks_sharded."""
     if bins is None:
@@ -365,7 +410,8 @@ def scan_chunks_raw_sharded(mesh, Xc, lens, H, bank, thresholds, nc,
     lens = np.asarray(lens, np.int32)
     Xc, lens, B = _pad_batch(mesh.size, Xc, lens)
     fn = _sharded_scan_raw_fn(mesh, bank["n_c"], int(nc), bank["nfft2"],
-                              int(buff_samps), int(max_trig), int(dec), axis)
+                              int(buff_samps), int(max_trig), int(dec), axis,
+                              bool(calc_hist), _uniform_nbin(bins))
     hist, maxds, tidx, tval, tcnt = fn(
         jnp.asarray(Xc), jnp.asarray(lens), H,
         (bank["Ufd2"], bank["sum_u"], bank["d_mask"]),

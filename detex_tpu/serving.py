@@ -108,7 +108,7 @@ def load_detectors(path, chunk_sec=3600.0, conBuff=120.0):
 
 
 def scan_station(dep, sta, chunks, mesh=None, bins=None, buff_sec=20.0,
-                 max_trig=64, valid_lens=None):
+                 max_trig=64, valid_lens=None, calc_hist=True):
     """
     Scan a [B, Lc] matrix of multiplexed chunks for one station against all
     of its detector banks; single-device or mesh-sharded.
@@ -141,7 +141,8 @@ def scan_station(dep, sta, chunks, mesh=None, bins=None, buff_sec=20.0,
         vlens = np.minimum(valid_lens, pad)
         hist, maxds, ti, tv, tc = _scan.scan_chunks(
             padded, bank, bank["thresholds"], nc, buff, bins=bins,
-            max_trig=max_trig, valid_lens=vlens, mesh=mesh)
+            max_trig=max_trig, valid_lens=vlens, mesh=mesh,
+            calc_hist=calc_hist)
         results.append(dict(names=bank["names"], hist=np.asarray(hist),
                             maxds=np.asarray(maxds),
                             trig_idx=np.asarray(ti),

@@ -55,6 +55,45 @@ def main():
     print("pallas-vs-f64  max|diff| = %.3g" % d_oracle)
     assert d_pallas < 1e-5, "compiled Pallas finalize drifted from XLA"
     assert d_oracle < 2e-5, "device DS drifted from the float64 oracle"
+
+    # overlap-save fused finalize (the large-bank path) on device
+    bank_os = dsops.build_bank([U], nc, Lc, block_fft=4096)
+    assert bank_os.get("os")
+    outs_os = {}
+    for flag in ("1", "0"):
+        os.environ["DETEX_TPU_PALLAS"] = flag
+        dsops.ds_bank_demux_os.clear_cache()
+        outs_os[flag] = np.asarray(dsops.run_bank(x, bank_os, nc)[0])
+    os.environ.pop("DETEX_TPU_PALLAS", None)
+    d_os = float(np.abs(outs_os["1"] - outs_os["0"]).max())
+    d_os_or = float(np.abs(outs_os["1"] - oracle).max())
+    print("os-pallas-vs-xla max|diff| = %.3g" % d_os)
+    print("os-pallas-vs-f64 max|diff| = %.3g" % d_os_or)
+    assert d_os < 1e-5, "compiled OS Pallas finalize drifted from XLA"
+    # the TPU's block FFTs round differently from the CPU's (measured
+    # ~5e-5 vs the f64 oracle; the full-length path is ~1e-8) — gate at
+    # 2e-4, well inside every threshold margin in the engine
+    assert d_os_or < 2e-4, "OS-path DS drifted from the float64 oracle"
+
+    # MXU counting histogram vs the sort path, compiled on device
+    import jax.numpy as jnp
+    from detex_tpu.ops.pallas_kernels import hist_uniform
+    from detex_tpu.parallel.scan import DEFAULT_BINS, _hist_counts
+    ds_rows = np.clip(
+        rng.uniform(-0.05, 1.05, size=(16, 50000)), -1.0, 2.0
+    ).astype(np.float32)
+    got = np.asarray(hist_uniform(jnp.asarray(ds_rows))).astype(np.int64)
+    bins = jnp.asarray(DEFAULT_BINS, jnp.float32)
+    want = np.stack([np.asarray(_hist_counts(jnp.asarray(r), bins))
+                     for r in ds_rows]).astype(np.int64)
+    nbad = int((got != want).sum())
+    print("hist mismatch cells: %d / %d" % (nbad, got.size))
+    # row totals must match exactly; individual cells may differ for
+    # values within an ULP of a float32 bin edge (documented floor-vs-
+    # searchsorted deviation) — a handful per million samples
+    assert (got.sum(axis=1) == want.sum(axis=1)).all(), \
+        "counting histogram lost/added samples"
+    assert nbad <= 16, "counting histogram drifted beyond edge-ULP cells"
     print("TPU-NUMERICS: OK")
 
 

@@ -28,25 +28,38 @@ def test_ds_finalize_matches_xla(rng, S, D, L):
 def test_ds_finalize_os_matches_xla(rng, S, D, m, blk, n_c):
     """OS-block finalize == trim-then-finalize on the same irfft output."""
     V = blk - n_c + 1
-    out_len = m * V - rng.integers(0, V)   # ragged tail like production
+    W = (V // 128) * 128 or V              # aligned block advance
+    out_len = m * W - int(rng.integers(0, W))  # ragged tail
     cb = jnp.asarray(rng.standard_normal((S * D, m, blk)), jnp.float32)
-    a = jnp.asarray(rng.standard_normal(m * V) * 0.01, jnp.float32)
-    power = jnp.asarray(np.abs(rng.standard_normal(m * V)) + 0.5,
+    a = jnp.asarray(rng.standard_normal(m * W) * 0.01, jnp.float32)
+    power = jnp.asarray(np.abs(rng.standard_normal(m * W)) + 0.5,
                         jnp.float32)
     sum_u = jnp.asarray(rng.standard_normal(S * D), jnp.float32)
-    got = pk.ds_finalize_os(cb, a, power, sum_u, n_c, D, interpret=True)
-    cc = np.asarray(cb)[:, :, n_c - 1:].reshape(S, D, m * V)
+    got = pk.ds_finalize_os(cb, a, power, sum_u, n_c, D, W, interpret=True)
+    cc = np.asarray(cb)[:, :, n_c - 1:n_c - 1 + W].reshape(S, D, m * W)
     want = pk.ds_finalize_xla(jnp.asarray(cc), a, power,
                               jnp.asarray(sum_u).reshape(S, D))
-    assert got.shape == (S, m * V)
+    assert got.shape == (S, m * W)
     assert np.allclose(np.asarray(got)[:, :out_len],
                        np.asarray(want)[:, :out_len], rtol=1e-5, atol=1e-6)
 
 
+def test_os_finalize_tile_rows_lowering_rules():
+    """Tile rows must satisfy the TPU lowering rule: divisible by 8, or
+    equal to the full S dimension; 0 when no legal tile fits VMEM."""
+    # small banks: whole-S tile
+    assert pk.os_finalize_tile_rows(2, 2, 512) == 2
+    # big bank: an 8-multiple tile
+    st = pk.os_finalize_tile_rows(128, 1, 16384)
+    assert st > 0 and (st % 8 == 0 or st == 128)
+    assert st * 16384 * 4 <= pk._OS_TILE_BUDGET
+    # S not 8-divisible and too big for one tile -> unsupported
+    assert pk.os_finalize_tile_rows(129, 4, 1 << 20) == 0
+
+
 def test_ds_bank_demux_os_pallas_path(rng, monkeypatch):
-    """The full OS bank kernel with the pallas finalize forced on
-    (interpret falls back automatically off-TPU? No — force interpret by
-    patching) must match the XLA path bit-for-bit-ish."""
+    """The full OS bank kernel with the pallas finalize forced on (in
+    interpret mode, via patching) must match the XLA path."""
     import detex_tpu.ops.ds as dsops
     from detex_tpu.ops import pallas_kernels as pkm
 
@@ -63,8 +76,8 @@ def test_ds_bank_demux_os_pallas_path(rng, monkeypatch):
 
     orig = pkm.ds_finalize_os
 
-    def interp(cb, a, power, sum_u, n_c, D, interpret=False):
-        return orig(cb, a, power, sum_u, n_c, D, interpret=True)
+    def interp(cb, a, power, sum_u, n_c, D, W, interpret=False):
+        return orig(cb, a, power, sum_u, n_c, D, W, interpret=True)
 
     monkeypatch.setattr(pkm, "ds_finalize_os", interp)
     monkeypatch.setenv("DETEX_TPU_PALLAS", "1")
@@ -91,3 +104,28 @@ def test_ds_finalize_masked_slots(rng):
                                     tile=1024, interpret=True))
     want = (cc ** 2).sum(axis=1)
     assert np.allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("S,L", [(3, 5000), (8, 2049), (1, 100)])
+def test_hist_uniform_matches_np(rng, S, L):
+    ds = rng.uniform(-0.1, 1.1, size=(S, L)).astype(np.float32)
+    ds[0, :5] = [0.0, 1.0, -np.inf, np.inf, 0.5]   # edges + out-of-range
+    got = np.asarray(pk.hist_uniform(jnp.asarray(ds), nbin=400, tile=256,
+                                     interpret=True))
+    edges = np.linspace(0, 1, 401)
+    for s in range(S):
+        want, _ = np.histogram(ds[s], bins=edges)
+        assert got[s].sum() == want.sum()
+        assert np.array_equal(got[s].astype(np.int64), want), s
+
+
+def test_hist_uniform_matches_sort_path(rng):
+    """Off-edge values: the counting kernel equals _hist_counts exactly."""
+    from detex_tpu.parallel.scan import _hist_counts, DEFAULT_BINS
+    ds = rng.uniform(0, 1, size=(4, 3000)).astype(np.float32)
+    got = np.asarray(pk.hist_uniform(jnp.asarray(ds), nbin=400, tile=512,
+                                     interpret=True)).astype(np.int64)
+    bins = jnp.asarray(DEFAULT_BINS, jnp.float32)
+    want = np.stack([np.asarray(_hist_counts(jnp.asarray(r), bins))
+                     for r in ds]).astype(np.int64)
+    assert np.array_equal(got, want)

@@ -98,3 +98,50 @@ def test_scan_finds_planted_events(deployment):
     # histogram totals equal the number of DS samples scanned
     tot = sum(r["hist"].sum(axis=-1).max() for r in res)
     assert tot > 0
+
+
+def test_scan_station_valid_lens_masks_pad(deployment):
+    """A zero-padded chunk with valid_lens must produce the same DS maxima
+    and triggers as scanning the truncated chunk itself (ADVICE r1: pad
+    windows previously entered hist/maxds/triggers)."""
+    dep = serving.load_detectors(deployment["path"], chunk_sec=3600,
+                                 conBuff=120)
+    synth = deployment["synth"]
+    cat = synth["cat"]
+    fet = deployment["cfetch"]
+    s = cat.t0 + 3600.0
+    st = fet.getStream(s, s + 3720, "TA", "S00", ["BHE", "BHN", "BHZ"], "*")
+    st = _applyFilter(st, [1, 8, 2, True])
+    x = multiplex(st, 3)
+    L0 = (int(len(x) * 0.6) // 3) * 3
+    xpad = np.zeros((1, len(x)), np.float32)
+    xpad[0, :L0] = x[:L0]
+
+    res_masked = serving.scan_station(dep, "TA.S00", xpad,
+                                      valid_lens=[L0])
+    res_exact = serving.scan_station(dep, "TA.S00",
+                                     np.asarray(x[:L0], np.float32)[None])
+    for rm, re in zip(res_masked, res_exact):
+        assert np.allclose(rm["maxds"], re["maxds"], atol=1e-5)
+        assert (rm["trig_count"] == re["trig_count"]).all()
+        assert np.allclose(rm["hist"], re["hist"])
+
+
+def test_scan_station_calc_hist_off(deployment):
+    """calc_hist=False skips the DS histogram (zeros) without changing
+    maxima or triggers."""
+    dep = serving.load_detectors(deployment["path"], chunk_sec=3600,
+                                 conBuff=120)
+    synth = deployment["synth"]
+    fet = deployment["cfetch"]
+    s = synth["cat"].t0 + 7200.0
+    st = fet.getStream(s, s + 3720, "TA", "S00", ["BHE", "BHN", "BHZ"], "*")
+    st = _applyFilter(st, [1, 8, 2, True])
+    X = np.asarray(multiplex(st, 3), np.float32)[None]
+    r_on = serving.scan_station(dep, "TA.S00", X)
+    r_off = serving.scan_station(dep, "TA.S00", X, calc_hist=False)
+    for a, b in zip(r_on, r_off):
+        assert (b["hist"] == 0).all() and a["hist"].sum() > 0
+        assert np.allclose(a["maxds"], b["maxds"])
+        assert (a["trig_count"] == b["trig_count"]).all()
+        assert (a["trig_idx"] == b["trig_idx"]).all()
