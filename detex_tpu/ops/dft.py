@@ -1,0 +1,152 @@
+"""
+Matmul (MXU) DFTs for the block-transform hot path.
+
+This environment's XLA-TPU FFT executes batched transforms with a large
+per-FFT fixed overhead (~0.27 ms measured on v5 lite): the overlap-save
+bank path needs tens of thousands of 16k-point inverse FFTs per hour-chunk
+at 1000 templates, i.e. multiple SECONDS of pure FFT-call overhead. On the
+MXU the same transforms are two 128x128 matmul stages (Cooley-Tukey
+radix-sqrt(n) decomposition) — ~34 MFLOP per 16k FFT, which a TPU chews
+through at tens of TFLOP/s.
+
+``irfft_ct(spec, n)`` == ``jnp.fft.irfft(spec, n, axis=-1)`` and
+``rfft_ct(x, n)`` == ``jnp.fft.rfft(x, n, axis=-1)`` for power-of-two n
+(up to matmul rounding; dot precision HIGHEST by default, override with
+DETEX_TPU_DFT_PRECISION=default|high|highest).
+
+Decomposition (n = n1*n2, k = k1 + n1*k2, t = n2*t1 + t2):
+    X[t] = sum_k Z[k] W^(kt)
+         = sum_k1 Wn1^(k1*t1) * W^(k1*t2) * [sum_k2 Z[k1+n1*k2] Wn2^(k2*t2)]
+inner sum = [n1, n2] @ [n2, n2] matmul, twiddle = elementwise [n1, n2],
+outer sum = [n1, n1] @ [n1, n2] matmul; all batched over leading dims.
+"""
+from __future__ import annotations
+
+import os
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _precision():
+    p = os.environ.get("DETEX_TPU_DFT_PRECISION", "highest").lower()
+    return {"default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST}[p]
+
+
+def use_matmul_fft():
+    """Matmul DFT on real TPU backends (override DETEX_TPU_MATMUL_FFT)."""
+    env = os.environ.get("DETEX_TPU_MATMUL_FFT")
+    if env is not None:
+        return env != "0"
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _split(n):
+    """n = n1 * n2 with both powers of two, n1 <= n2."""
+    b = int(n).bit_length() - 1
+    assert (1 << b) == n, "matmul DFT requires power-of-two n"
+    n1 = 1 << (b // 2)
+    return n1, n // n1
+
+
+@lru_cache(maxsize=None)
+def _ct_mats(n, inverse):
+    """Constant CT matrices for size n (host-built float64 -> float32):
+    (Wn2 [n2, n2], twiddle [n1, n2], Wn1 [n1, n1]) as (real, imag) pairs.
+    ``inverse`` uses W = exp(+2i pi / n) (scaling applied by the caller)."""
+    n1, n2 = _split(n)
+    sgn = 1.0 if inverse else -1.0
+    k2 = np.arange(n2)
+    wn2 = np.exp(sgn * 2j * np.pi * np.outer(k2, k2) / n2)
+    k1 = np.arange(n1)
+    t2 = np.arange(n2)
+    tw = np.exp(sgn * 2j * np.pi * np.outer(k1, t2) / n)
+    t1 = np.arange(n1)
+    wn1 = np.exp(sgn * 2j * np.pi * np.outer(t1, k1) / n1)
+    # host numpy: traced as embedded constants (device-array constants
+    # would force a d2h transfer through the axon tunnel at lowering)
+    f32 = lambda a: np.asarray(a, np.float32)  # noqa: E731
+    return ((f32(wn2.real), f32(wn2.imag)),
+            (f32(tw.real), f32(tw.imag)),
+            (f32(wn1.real), f32(wn1.imag)))
+
+
+def _cmatmul(ar, ai, br, bi, prec):
+    """(ar + i*ai) @ (br + i*bi) as real dots."""
+    rr = jnp.matmul(ar, br, precision=prec) - \
+        jnp.matmul(ai, bi, precision=prec)
+    ri = jnp.matmul(ar, bi, precision=prec) + \
+        jnp.matmul(ai, br, precision=prec)
+    return rr, ri
+
+
+def _ct_core(zr, zi, n, inverse):
+    """Batched complex DFT of Z [..., n] given as (real, imag).
+    Returns (real, imag) [..., n]; NO 1/n scaling.
+
+    Every matmul is flattened to a single 2-D [B*128, 128] @ [128, 128] —
+    this backend pays a visible per-call overhead on *batched* matmuls
+    (like it does on batched FFTs), so batch dims are folded into M."""
+    n1, n2 = _split(n)
+    (w2r, w2i), (twr, twi), (w1r, w1i) = _ct_mats(n, inverse)
+    prec = _precision()
+    lead = zr.shape[:-1]
+    B = int(np.prod(lead)) if lead else 1
+
+    def m2(ar, ai, br, bi, rows):
+        """[(B*rows_pre), k] @ [k, cols] as flat 2-D complex matmul."""
+        return _cmatmul(ar.reshape(-1, rows), ai.reshape(-1, rows),
+                        br, bi, prec)
+
+    # Z[k1 + n1 k2] -> [..., k2, k1] -> [..., k1, k2]
+    zr = jnp.swapaxes(zr.reshape(lead + (n2, n1)), -1, -2)
+    zi = jnp.swapaxes(zi.reshape(lead + (n2, n1)), -1, -2)
+    # inner: A[k1, t2] = sum_k2 Z[k1, k2] Wn2[k2, t2]  (contract last dim)
+    ar, ai = m2(zr, zi, w2r, w2i, n2)                  # [B*n1, n2]
+    ar = ar.reshape(lead + (n1, n2))
+    ai = ai.reshape(lead + (n1, n2))
+    br = ar * twr - ai * twi
+    bi = ar * twi + ai * twr
+    # outer: X2[t1, t2] = sum_k1 Wn1[t1, k1] B[k1, t2]
+    #      = (B^T [t2, k1] @ Wn1^T [k1, t1])^T — contract the last dim
+    br = jnp.swapaxes(br, -1, -2)                      # [..., t2, k1]
+    bi = jnp.swapaxes(bi, -1, -2)
+    xr, xi = m2(br, bi, w1r.T, w1i.T, n1)              # [B*n2, n1]
+    xr = jnp.swapaxes(xr.reshape(lead + (n2, n1)), -1, -2)
+    xi = jnp.swapaxes(xi.reshape(lead + (n2, n1)), -1, -2)
+    return xr.reshape(lead + (n,)), xi.reshape(lead + (n,))
+
+
+@partial(jax.jit, static_argnames=("n",))
+def irfft_ct(spec, n):
+    """== jnp.fft.irfft(spec, n, axis=-1) for power-of-two n via two MXU
+    matmul stages. spec [..., n//2 + 1] complex."""
+    R = n // 2 + 1
+    assert spec.shape[-1] == R
+    sr = jnp.real(spec)
+    si = jnp.imag(spec)
+    # hermitian extension: Z[n-k] = conj(Z[k]), k = 1..n/2-1
+    zr = jnp.concatenate([sr, sr[..., -2:0:-1]], axis=-1)
+    zi = jnp.concatenate([si, -si[..., -2:0:-1]], axis=-1)
+    xr, _ = _ct_core(zr, zi, n, inverse=True)
+    return xr * (1.0 / n)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def rfft_ct(x, n):
+    """== jnp.fft.rfft(x, n, axis=-1) for power-of-two n (input is
+    zero-padded/truncated to length n like jnp.fft.rfft)."""
+    L = x.shape[-1]
+    if L < n:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - L)])
+    elif L > n:
+        x = x[..., :n]
+    xr, xi = _ct_core(x, jnp.zeros_like(x), n, inverse=False)
+    return jax.lax.complex(xr[..., :n // 2 + 1], xi[..., :n // 2 + 1])

@@ -299,14 +299,31 @@ def ds_bank_demux_os(x, Ufd2, sum_u, d_mask, n_c, nc, blk_fft):
     var_samp = (s2 - s1 * s1 / n) / (n - 1.0)
     power = jnp.maximum(var_samp, 0.0) * n
 
-    # overlapping data blocks, transformed once for every template
-    idx = (jnp.arange(m)[:, None] * W + jnp.arange(blk_fft)[None, :])
-    valid = idx < L_c
-    xb = jnp.take(xc, jnp.minimum(idx, L_c - 1), axis=1) \
-        * valid[None, :, :].astype(xc.dtype)    # [nc, m, blk]
-    F = jnp.fft.rfft(xb, blk_fft, axis=-1)      # [nc, m, R]
-    spec = jnp.einsum("sdcr,cmr->sdmr", Ufd2, F)
-    cb = jnp.fft.irfft(spec, blk_fft, axis=-1)  # [S, Dmax, m, blk]
+    # overlapping data blocks, transformed once for every template.
+    # Window i covers [i*W, i*W + blk); with stride W it spans at most
+    # ceil(blk/W)+1 consecutive W-rows of the padded signal, so the
+    # overlapping-window matrix is a concat of shifted reshapes — never a
+    # gather (TPU gathers serialize).
+    k = -(-blk_fft // W) + 1
+    xp = jnp.pad(xc, ((0, 0), (0, (m + k - 1) * W - L_c)))
+    rows = [xp[:, j * W:(m + j) * W].reshape(nc, m, W) for j in range(k)]
+    xb = jnp.concatenate(rows, axis=2)[:, :, :blk_fft]  # [nc, m, blk]
+    # block transforms: MXU matmul DFTs on TPU — this backend's FFT has a
+    # large per-FFT overhead and the bank needs S*m inverse transforms per
+    # chunk (ops/dft.py)
+    from detex_tpu.ops import dft as _dft
+    if _dft.use_matmul_fft():
+        F = _dft.rfft_ct(xb, blk_fft)           # [nc, m, R]
+        # cross-spectra: the einsum form lowers to r-batched [S,c]@[c,m]
+        # micro-matmuls (per-call overhead again); an unrolled fused
+        # multiply-add over the nc=3 channel axis stays elementwise
+        spec = sum(Ufd2[:, :, c, None, :] * F[c][None, None, :, :]
+                   for c in range(Ufd2.shape[2]))
+        cb = _dft.irfft_ct(spec, blk_fft)       # [S, Dmax, m, blk]
+    else:
+        F = jnp.fft.rfft(xb, blk_fft, axis=-1)
+        spec = jnp.einsum("sdcr,cmr->sdmr", Ufd2, F)
+        cb = jnp.fft.irfft(spec, blk_fft, axis=-1)
 
     powsafe = jnp.where(power == 0, jnp.inf, power)
     S, Dmax = sum_u.shape

@@ -108,10 +108,14 @@ def _all_pairs_fused_demux(X, II, JJ, n, nc, nfft2):
     sum of per-channel correlations — so each pair needs one irFFT of
     length nfft/Nc instead of nfft. Requires n % nc == 0.
     """
+    from detex_tpu.ops import dft as _dft
     N, n_full = X.shape
     n_c = n // nc
     Xc = X.reshape(N, n_c, nc).transpose(0, 2, 1)        # [N, nc, n_c]
-    F = jnp.fft.rfft(Xc, nfft2, axis=-1)                 # [N, nc, R2]
+    if _dft.use_matmul_fft():
+        F = _dft.rfft_ct(Xc, nfft2)                      # [N, nc, R2]
+    else:
+        F = jnp.fft.rfft(Xc, nfft2, axis=-1)
     sums = jnp.sum(X, axis=-1)
     stds = jnp.std(X, axis=-1)
     # rolling stats of the (n_c-1)-zero-padded channels, summed over
@@ -126,14 +130,20 @@ def _all_pairs_fused_demux(X, II, JJ, n, nc, nfft2):
 
     def one_batch(idx):
         ii, jj = idx
-
-        def fn(i, j):
-            spec = jnp.sum(jnp.conj(F[i]) * F[j], axis=0)  # [R2]
-            c = jnp.fft.irfft(spec, nfft2)
-            c1s = jnp.concatenate([c[nfft2 - (n_c - 1):], c[:n_c]])
-            return _pair_cc_strided(c1s, a[j], b[j], sums[i], stds[i],
-                                    n, nc)
-        return jax.vmap(fn)(ii, jj)
+        # whole-batch cross-spectra + ONE flat inverse transform: a
+        # per-pair (vmapped) irfft pays this backend's per-FFT overhead
+        # 2048 times per batch
+        spec = jnp.sum(jnp.conj(F[ii]) * F[jj], axis=1)    # [P, R2]
+        if _dft.use_matmul_fft():
+            c = _dft.irfft_ct(spec, nfft2)
+        else:
+            c = jnp.fft.irfft(spec, nfft2, axis=-1)
+        c1s = jnp.concatenate([c[:, nfft2 - (n_c - 1):], c[:, :n_c]],
+                              axis=1)
+        return jax.vmap(
+            lambda cs, aj, bj, si, sdi: _pair_cc_strided(
+                cs, aj, bj, si, sdi, n, nc))(
+            c1s, a[jj], b[jj], sums[ii], stds[ii])
 
     return jax.lax.map(one_batch, (II, JJ))
 

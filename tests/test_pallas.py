@@ -108,7 +108,10 @@ def test_ds_finalize_masked_slots(rng):
 
 @pytest.mark.parametrize("S,L", [(3, 5000), (8, 2049), (1, 100)])
 def test_hist_uniform_matches_np(rng, S, L):
-    ds = rng.uniform(-0.1, 1.1, size=(S, L)).astype(np.float32)
+    # interior values (edge-ULP collisions bin differently by design) plus
+    # exactly-representable specials
+    ds = ((rng.integers(-40, 440, size=(S, L)) +
+           rng.uniform(0.1, 0.9, size=(S, L))) / 400.0).astype(np.float32)
     ds[0, :5] = [0.0, 1.0, -np.inf, np.inf, 0.5]   # edges + out-of-range
     got = np.asarray(pk.hist_uniform(jnp.asarray(ds), nbin=400, tile=256,
                                      interpret=True))
@@ -120,9 +123,13 @@ def test_hist_uniform_matches_np(rng, S, L):
 
 
 def test_hist_uniform_matches_sort_path(rng):
-    """Off-edge values: the counting kernel equals _hist_counts exactly."""
+    """Off-edge values: the counting kernel equals _hist_counts exactly.
+    (Values within a float32 ULP of a bin edge may legitimately differ
+    between floor- and searchsorted-binning, so keep the data interior.)"""
     from detex_tpu.parallel.scan import _hist_counts, DEFAULT_BINS
-    ds = rng.uniform(0, 1, size=(4, 3000)).astype(np.float32)
+    ds = ((rng.integers(0, 400, size=(4, 3000)) +
+           rng.uniform(0.1, 0.9, size=(4, 3000))) / 400.0
+          ).astype(np.float32)
     got = np.asarray(pk.hist_uniform(jnp.asarray(ds), nbin=400, tile=512,
                                      interpret=True)).astype(np.int64)
     bins = jnp.asarray(DEFAULT_BINS, jnp.float32)
