@@ -209,6 +209,10 @@ def ds_bank_demux(x, Ufd2, sum_u, d_mask, n_c, nc, nfft2):
     var_samp = (s2 - s1 * s1 / n) / (n - 1.0)
     power = jnp.maximum(var_samp, 0.0) * n
 
+    # full-length path: keep the backend FFT — its per-FFT overhead is
+    # paid only nc + S*Dmax times per chunk here (large banks route to
+    # the overlap-save path, where ops/dft.py matmul DFTs win 28x; the
+    # same CT matmuls LOSE 2x at this path's small batch / big n)
     xfd = jnp.fft.rfft(xc, nfft2, axis=-1)           # [nc, R2]
     # sum cross-spectra over channels, then ONE irfft per (S, D)
     spec = jnp.einsum("sdcr,cr->sdr", Ufd2, xfd)     # [S, Dmax, R2]
@@ -282,10 +286,15 @@ def ds_bank_demux_os(x, Ufd2, sum_u, d_mask, n_c, nc, blk_fft):
     L_c = Lc // nc
     n = n_c * nc
     out_len = L_c - n_c + 1
-    V = blk_fft - n_c + 1                       # valid outputs per block
-    # block advance: lane-aligned when possible so the fused pallas
-    # finalize can tile the output grid (a few % extra block overlap)
-    W = (V // 128) * 128 or V
+    # lane-aligned decomposition: left-pad the signal so each block's
+    # circularly-contaminated head D0 (>= n_c-1) is a multiple of 128 —
+    # the finalize then slices tiles at aligned offsets (an unaligned
+    # slice makes Mosaic lane-rotate every tile), and the block advance
+    # W = blk - D0 is 128-aligned for the output grid.
+    pad0 = (-(n_c - 1)) % 128
+    D0 = n_c - 1 + pad0
+    W = blk_fft - D0
+    assert W >= 128, "block FFT too small for the aligned decomposition"
     m = -(-out_len // W)                        # block count
     mu = jnp.mean(x)
     sd = jnp.std(x)
@@ -300,12 +309,14 @@ def ds_bank_demux_os(x, Ufd2, sum_u, d_mask, n_c, nc, blk_fft):
     power = jnp.maximum(var_samp, 0.0) * n
 
     # overlapping data blocks, transformed once for every template.
-    # Window i covers [i*W, i*W + blk); with stride W it spans at most
+    # Window i covers [i*W - pad0, i*W - pad0 + blk) of the signal (the
+    # pad0 leading zeros shift output slot D0 of block i to correlation
+    # position i*W); with stride W each window spans at most
     # ceil(blk/W)+1 consecutive W-rows of the padded signal, so the
     # overlapping-window matrix is a concat of shifted reshapes — never a
     # gather (TPU gathers serialize).
     k = -(-blk_fft // W) + 1
-    xp = jnp.pad(xc, ((0, 0), (0, (m + k - 1) * W - L_c)))
+    xp = jnp.pad(xc, ((0, 0), (pad0, (m + k - 1) * W - L_c - pad0)))
     rows = [xp[:, j * W:(m + j) * W].reshape(nc, m, W) for j in range(k)]
     xb = jnp.concatenate(rows, axis=2)[:, :, :blk_fft]  # [nc, m, blk]
     # block transforms: MXU matmul DFTs on TPU — this backend's FFT has a
@@ -327,7 +338,7 @@ def ds_bank_demux_os(x, Ufd2, sum_u, d_mask, n_c, nc, blk_fft):
 
     powsafe = jnp.where(power == 0, jnp.inf, power)
     S, Dmax = sum_u.shape
-    if _use_pallas() and W % 128 == 0:
+    if _use_pallas():
         from detex_tpu.ops.pallas_kernels import (ds_finalize_os,
                                                   os_finalize_tile_rows)
         if os_finalize_tile_rows(S, Dmax, blk_fft) > 0:
@@ -338,9 +349,9 @@ def ds_bank_demux_os(x, Ufd2, sum_u, d_mask, n_c, nc, blk_fft):
             pp = jnp.pad(powsafe, (0, m * W - out_len),
                          constant_values=1.0)
             ds = ds_finalize_os(cb.reshape(S * Dmax, m, blk_fft), ap, pp,
-                                su.reshape(S * Dmax), n_c, Dmax, W)
+                                su.reshape(S * Dmax), D0, Dmax, W)
             return ds[:, :out_len]
-    cc = cb[..., n_c - 1:n_c - 1 + W].reshape(
+    cc = cb[..., D0:D0 + W].reshape(
         S, Dmax, m * W)[:, :, :out_len]
     y = cc - sum_u[:, :, None] * a[None, None, :]
     y = jnp.where(d_mask[:, :, None], y, 0.0)

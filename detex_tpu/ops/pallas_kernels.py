@@ -175,9 +175,9 @@ def hist_uniform(ds, nbin=400, tile=2048, interpret=False):
 
 
 def _finalize_os_kernel(cb_ref, a_ref, power_ref, sum_u_ref, out_ref, *,
-                        n_c, D, W):
+                        head, D, W):
     cb = cb_ref[...]                    # [sd, blk] one OS block
-    x = cb[:, n_c - 1:n_c - 1 + W]      # valid part [sd, W]
+    x = cb[:, head:head + W]            # valid part [sd, W], lane-aligned
     a = a_ref[...]                      # [1, W]
     power = power_ref[...]              # [1, W]
     su = sum_u_ref[...]                 # [sd, 1]
@@ -209,16 +209,19 @@ def os_finalize_tile_rows(S, D, blk):
     return 0 if st * D * blk * 4 > _OS_TILE_BUDGET else st
 
 
-@partial(jax.jit, static_argnames=("n_c", "D", "W", "interpret"))
-def ds_finalize_os(cb, a, power, sum_u, n_c, D, W, interpret=False):
+@partial(jax.jit, static_argnames=("head", "D", "W", "interpret"))
+def ds_finalize_os(cb, a, power, sum_u, head, D, W, interpret=False):
     """
     Fused DS finalize over RAW overlap-save irfft blocks.
 
     Instead of materializing the trimmed/reshaped correlation array
-    (``cb[..., n_c-1:n_c-1+W].reshape(S, D, m*W)`` — an HBM-scale copy at
+    (``cb[..., head:head+W].reshape(S, D, m*W)`` — an HBM-scale copy at
     large template counts), each grid step loads one OS block straight from
     the irfft output, discards its circularly-contaminated head in VMEM,
-    and writes the DS tile.
+    and writes the DS tile. ``head`` and ``W`` must be lane-aligned
+    (multiples of 128): the caller left-pads the signal so the discard
+    head lands on a lane boundary (an unaligned in-kernel slice makes
+    Mosaic lane-rotate every tile).
 
     Parameters
     ----------
@@ -226,9 +229,8 @@ def ds_finalize_os(cb, a, power, sum_u, n_c, D, W, interpret=False):
     a : [m*W] rolling mean, zero-padded past the valid output length
     power : [m*W] rolling power, padded with 1.0
     sum_u : [S*D] basis-vector sums
-    n_c, D : per-channel template length, basis dimension
-    W : outputs consumed per OS block (the block advance); must be
-        lane-aligned (multiple of 128) for the compiled TPU path
+    head, D : aligned discard-head length, basis dimension
+    W : outputs consumed per OS block (the block advance)
 
     Returns
     -------
@@ -240,7 +242,8 @@ def ds_finalize_os(cb, a, power, sum_u, n_c, D, W, interpret=False):
     st = os_finalize_tile_rows(S, D, blk)
     assert st > 0, "caller must check os_finalize_tile_rows/W first"
     grid = (m, S // st)
-    kern = partial(_finalize_os_kernel, n_c=n_c, D=D, W=W)
+    assert head % 128 == 0 and W % 128 == 0
+    kern = partial(_finalize_os_kernel, head=head, D=D, W=W)
     out = pl.pallas_call(
         kern,
         grid=grid,

@@ -27,16 +27,17 @@ def test_ds_finalize_matches_xla(rng, S, D, L):
                                            (1, 2, 4, 1024, 257)])
 def test_ds_finalize_os_matches_xla(rng, S, D, m, blk, n_c):
     """OS-block finalize == trim-then-finalize on the same irfft output."""
-    V = blk - n_c + 1
-    W = (V // 128) * 128 or V              # aligned block advance
+    head = -(-(n_c - 1) // 128) * 128      # aligned discard head
+    W = blk - head                         # aligned block advance
     out_len = m * W - int(rng.integers(0, W))  # ragged tail
     cb = jnp.asarray(rng.standard_normal((S * D, m, blk)), jnp.float32)
     a = jnp.asarray(rng.standard_normal(m * W) * 0.01, jnp.float32)
     power = jnp.asarray(np.abs(rng.standard_normal(m * W)) + 0.5,
                         jnp.float32)
     sum_u = jnp.asarray(rng.standard_normal(S * D), jnp.float32)
-    got = pk.ds_finalize_os(cb, a, power, sum_u, n_c, D, W, interpret=True)
-    cc = np.asarray(cb)[:, :, n_c - 1:n_c - 1 + W].reshape(S, D, m * W)
+    got = pk.ds_finalize_os(cb, a, power, sum_u, head, D, W,
+                            interpret=True)
+    cc = np.asarray(cb)[:, :, head:head + W].reshape(S, D, m * W)
     want = pk.ds_finalize_xla(jnp.asarray(cc), a, power,
                               jnp.asarray(sum_u).reshape(S, D))
     assert got.shape == (S, m * W)
@@ -76,8 +77,8 @@ def test_ds_bank_demux_os_pallas_path(rng, monkeypatch):
 
     orig = pkm.ds_finalize_os
 
-    def interp(cb, a, power, sum_u, n_c, D, W, interpret=False):
-        return orig(cb, a, power, sum_u, n_c, D, W, interpret=True)
+    def interp(cb, a, power, sum_u, head, D, W, interpret=False):
+        return orig(cb, a, power, sum_u, head, D, W, interpret=True)
 
     monkeypatch.setattr(pkm, "ds_finalize_os", interp)
     monkeypatch.setenv("DETEX_TPU_PALLAS", "1")
