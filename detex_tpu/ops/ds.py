@@ -282,6 +282,14 @@ def make_bank_demux_os(U_list, nc, blk_fft, dtype=jnp.float32):
 def ds_bank_demux_os(x, Ufd2, sum_u, d_mask, n_c, nc, blk_fft):
     """Overlap-save DS of one multiplexed chunk. Same contract as
     ds_bank_demux: x [Lc] -> [S, Lc//nc - n_c + 1]."""
+    return _os_core(x, Ufd2, sum_u, d_mask, n_c, nc, blk_fft)
+
+
+def _os_core(x, Ufd2, sum_u, d_mask, n_c, nc, blk_fft, nv=None):
+    """Shared overlap-save DS pipeline. With ``nv`` (scan path) returns
+    either a (masked ds_full, pyr_max) tuple (pallas) or the UNMASKED
+    full-width ds [S, m*W] (XLA fallback — caller masks); without ``nv``
+    returns ds[:, :out_len]."""
     Lc = x.shape[0]
     L_c = Lc // nc
     n = n_c * nc
@@ -340,23 +348,54 @@ def ds_bank_demux_os(x, Ufd2, sum_u, d_mask, n_c, nc, blk_fft):
     S, Dmax = sum_u.shape
     if _use_pallas():
         from detex_tpu.ops.pallas_kernels import (ds_finalize_os,
+                                                  ds_finalize_os_scan,
                                                   os_finalize_tile_rows)
         if os_finalize_tile_rows(S, Dmax, blk_fft) > 0:
             su = jnp.where(d_mask, sum_u, 0.0)
             # pad the window stats to the blocked output grid; the pad
-            # tail (>= out_len) is sliced off below
+            # tail (>= out_len) is sliced off below / masked by nv
             ap = jnp.pad(a, (0, m * W - out_len))
             pp = jnp.pad(powsafe, (0, m * W - out_len),
                          constant_values=1.0)
-            ds = ds_finalize_os(cb.reshape(S * Dmax, m, blk_fft), ap, pp,
-                                su.reshape(S * Dmax), D0, Dmax, W)
-            return ds[:, :out_len]
-    cc = cb[..., D0:D0 + W].reshape(
-        S, Dmax, m * W)[:, :, :out_len]
+            cbf = cb.reshape(S * Dmax, m, blk_fft)
+            suf = su.reshape(S * Dmax)
+            if nv is not None and (W // 128) <= 128:
+                return ds_finalize_os_scan(cbf, ap, pp, suf, nv, D0,
+                                           Dmax, W)
+            ds = ds_finalize_os(cbf, ap, pp, suf, D0, Dmax, W)
+            return ds if nv is not None else ds[:, :out_len]
+    cc = cb[..., D0:D0 + W].reshape(S, Dmax, m * W)
+    if nv is None:
+        cc = cc[:, :, :out_len]
+    else:
+        a = jnp.pad(a, (0, m * W - out_len))
+        powsafe = jnp.pad(powsafe, (0, m * W - out_len),
+                          constant_values=1.0)
     y = cc - sum_u[:, :, None] * a[None, None, :]
     y = jnp.where(d_mask[:, :, None], y, 0.0)
     num = jnp.sum(y * y, axis=1)
     return num / powsafe[None, :]
+
+
+@partial(jax.jit, static_argnames=("n_c", "nc", "blk_fft"))
+def ds_bank_demux_os_scan(x, nv, Ufd2, sum_u, d_mask, n_c, nc, blk_fft):
+    """
+    Scan-path variant of ds_bank_demux_os: returns
+    (ds [S, m*W] with DS positions >= nv masked to -inf,
+     pyr_max [S, (m*W)//128] per-128-sample block maxima).
+
+    The pad-window mask, trigger pyramid, and global max come out of the
+    fused pallas finalize instead of three extra full sweeps over the DS
+    array. The XLA fallback computes the identical outputs.
+    """
+    ds_full = _os_core(x, Ufd2, sum_u, d_mask, n_c, nc, blk_fft, nv=nv)
+    if isinstance(ds_full, tuple):      # pallas path emitted the pyramid
+        return ds_full
+    S = ds_full.shape[0]
+    pos = jnp.arange(ds_full.shape[1])
+    ds = jnp.where(pos[None, :] < nv, ds_full, -jnp.inf)
+    pyr = ds.reshape(S, -1, 128).max(axis=-1)
+    return ds, pyr
 
 
 # full-length spectra above this many complex elements switch the bank to

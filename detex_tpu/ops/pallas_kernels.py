@@ -187,6 +187,80 @@ def _finalize_os_kernel(cb_ref, a_ref, power_ref, sum_u_ref, out_ref, *,
     out_ref[...] = y2 / power
 
 
+def _finalize_os_scan_kernel(cb_ref, a_ref, power_ref, sum_u_ref, nv_ref,
+                             out_ref, bmax_ref, *, head, D, W):
+    """Scan-path variant of _finalize_os_kernel: additionally masks DS
+    positions >= nv (pad windows) to -inf and emits per-128-sample block
+    maxima (the trigger pyramid + global max come free from these)."""
+    i = pl.program_id(0)                # OS-block index (output col tile)
+    cb = cb_ref[...]
+    x = cb[:, head:head + W]
+    a = a_ref[...]
+    power = power_ref[...]
+    su = sum_u_ref[...]
+    y = x - su * a
+    S = out_ref.shape[0]
+    y2 = (y * y).reshape(S, D, W).sum(axis=1)
+    ds = y2 / power
+    pos = i * W + jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    ds = jnp.where(pos < nv_ref[0, 0], ds, -jnp.inf)
+    out_ref[...] = ds
+    nb = W // 128
+    bm = ds.reshape(S, nb, 128).max(axis=-1)          # [S, nb]
+    pad = jnp.full((S, 128 - nb), -jnp.inf, ds.dtype)
+    bmax_ref[...] = jnp.concatenate([bm, pad], axis=1)
+
+
+@partial(jax.jit, static_argnames=("head", "D", "W", "interpret"))
+def ds_finalize_os_scan(cb, a, power, sum_u, nv, head, D, W,
+                        interpret=False):
+    """
+    ds_finalize_os + fused pad-window masking + trigger-pyramid block
+    maxima: returns (ds [S, m*W] with positions >= nv at -inf,
+    pyr_max [S, (m*W)//128] per-128-sample block maxima).
+
+    Saves three full sweeps over the [S, m*W] DS array per chunk on the
+    scan path (the where-mask, the pyramid build, and the global max —
+    maxds == pyr_max.max(-1)).
+    """
+    SD, m, blk = cb.shape
+    S = SD // D
+    assert a.shape[0] == m * W and power.shape[0] == m * W
+    assert head % 128 == 0 and W % 128 == 0 and (W // 128) <= 128
+    st = os_finalize_tile_rows(S, D, blk)
+    assert st > 0, "caller must check os_finalize_tile_rows first"
+    grid = (m, S // st)
+    kern = partial(_finalize_os_scan_kernel, head=head, D=D, W=W)
+    nv_arr = jnp.asarray(nv, jnp.int32).reshape(1, 1)
+    ds, bmax = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((st * D, blk), lambda i, j: (j, i),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, W), lambda i, j: (0, i), memory_space=_VMEM),
+            pl.BlockSpec((1, W), lambda i, j: (0, i), memory_space=_VMEM),
+            pl.BlockSpec((st * D, 1), lambda i, j: (j, 0),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+                         memory_space=_VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((st, W), lambda i, j: (j, i),
+                         memory_space=_VMEM),
+            pl.BlockSpec((st, 128), lambda i, j: (j, i),
+                         memory_space=_VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((S, m * W), cb.dtype),
+                   jax.ShapeDtypeStruct((S, m * 128), cb.dtype)],
+        interpret=interpret,
+    )(cb.reshape(SD, m * blk), a[None, :], power[None, :],
+      sum_u.reshape(SD, 1), nv_arr)
+    nb = W // 128
+    pyr = bmax.reshape(S, m, 128)[:, :, :nb].reshape(S, m * nb)
+    return ds, pyr
+
+
 # cb VMEM tile budget (bytes); configs whose smallest legal tile exceeds it
 # fall back to the XLA finalize. Keep small: Mosaic stacks the in-kernel
 # temporaries (sliced x, y, y^2, ds) on top of the double-buffered in/out

@@ -189,3 +189,60 @@ def extract_triggers_pyramid(ceval, threshold, buff_samps, max_triggers=64,
         length=max_triggers)
     count = jnp.sum((out >= 0).astype(jnp.int32))
     return out, count
+
+
+@partial(jax.jit, static_argnames=("buff_samps", "max_triggers", "block"))
+def extract_triggers_pyramid_pm(ceval, pyr_max, threshold, buff_samps,
+                                max_triggers=64, block=128):
+    """
+    extract_triggers_pyramid with a PRECOMPUTED block-max pyramid (e.g.
+    emitted by the fused pallas finalize — no extra sweep over ceval).
+    ``ceval`` must have length ``len(pyr_max) * block`` (pad positions
+    pre-masked to -inf); no per-block argmax is carried — the winning
+    block's exact index is recovered by re-reading that one block.
+    Output-identical to extract_triggers_topk on the same ceval.
+    """
+    L = ceval.shape[0]
+    nblk = pyr_max.shape[0]
+    assert nblk * block == L
+    c = ceval.astype(jnp.float32)
+    pos_in_blk = jnp.arange(block, dtype=jnp.int32)
+    bidx = jnp.arange(nblk, dtype=jnp.int32)
+
+    def recompute(b, los, his):
+        vals = jax.lax.dynamic_slice(c, (b * block,), (block,))
+        pos = b * block + pos_in_blk
+        inside = ((pos[None, :] >= los[:, None]) &
+                  (pos[None, :] < his[:, None])).any(axis=0)
+        vals = jnp.where(inside, 0.0, vals)
+        return vals.max(), b * block + vals.argmax().astype(jnp.int32)
+
+    def body(carry, _):
+        pyr, los, his, k = carry
+        j = jnp.argmax(pyr)
+        valid = pyr[j] >= threshold
+        # exact first-occurrence index inside the winning block
+        _, i = recompute(j, los, his)
+        lo = jnp.where(i < buff_samps + 1, 0, i - buff_samps)
+        hi = jnp.where(i < buff_samps + 1, i + buff_samps,
+                       jnp.where(i > L - buff_samps, L, i + buff_samps))
+        los = los.at[k].set(jnp.where(valid, lo, L + 1))
+        his = his.at[k].set(jnp.where(valid, hi, 0))
+        full = valid & (bidx * block >= lo) & ((bidx + 1) * block <= hi)
+        pyr = jnp.where(full, 0.0, pyr)
+        blo = jnp.clip(lo // block, 0, nblk - 1).astype(jnp.int32)
+        bhi = jnp.clip((hi - 1) // block, 0, nblk - 1).astype(jnp.int32)
+        for b in (blo, bhi):
+            bm, _ = recompute(b, los, his)
+            pyr = pyr.at[b].set(jnp.where(valid, bm, pyr[b]))
+        out_i = jnp.where(valid, i.astype(jnp.int32), jnp.int32(-1))
+        return (pyr, los, his, k + 1), out_i
+
+    zero = (c[0] * 0).astype(jnp.int32)
+    los0 = jnp.full((max_triggers,), L + 1, jnp.int32) + zero
+    his0 = jnp.zeros((max_triggers,), jnp.int32) + zero
+    _, out = jax.lax.scan(
+        body, (pyr_max.astype(jnp.float32), los0, his0, zero), None,
+        length=max_triggers)
+    count = jnp.sum((out >= 0).astype(jnp.int32))
+    return out, count

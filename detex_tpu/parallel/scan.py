@@ -178,13 +178,15 @@ def _chunk_fn(x, nv, arrs, thresholds, bins, demux, n_c, nc, nfft,
     would otherwise exhaust HBM on a single chip. ``S`` is the true
     (unpadded) detector count."""
 
+    def _hist_of(ds):
+        if calc_hist:
+            return _hist_rows(ds, bins, uniform_nbin)
+        return jnp.zeros((ds.shape[0], bins.shape[0] - 1), jnp.int32)
+
     def finish(ds, th):
         pos = jnp.arange(ds.shape[-1])
         ds = jnp.where(pos[None, :] < nv, ds, -jnp.inf)
-        if calc_hist:
-            hist = _hist_rows(ds, bins, uniform_nbin)
-        else:  # skip the per-detector histogram entirely (calcHist=False)
-            hist = jnp.zeros((ds.shape[0], bins.shape[0] - 1), jnp.int32)
+        hist = _hist_of(ds)
         maxds = jnp.max(ds, axis=-1)                           # [s]
 
         def trig_one(v, t):
@@ -196,13 +198,36 @@ def _chunk_fn(x, nv, arrs, thresholds, bins, demux, n_c, nc, nfft,
         tidx, tval, tcnt = jax.vmap(trig_one)(ds, th)
         return hist, maxds, tidx, tval, tcnt
 
+    def finish_os(ds, pyr, th):
+        """OS path: mask + pyramid + global max come fused from the DS
+        kernel (ds is full block width, pad positions already -inf)."""
+        hist = _hist_of(ds)
+        maxds = jnp.max(pyr, axis=-1)
+
+        def trig_one(v, pm, t):
+            idx, cnt = _triggers.extract_triggers_pyramid_pm(
+                v, pm, t, buff_samps, max_triggers=max_trig)
+            vals = jnp.where(idx >= 0, v[jnp.clip(idx, 0, v.shape[0] - 1)],
+                             jnp.nan)
+            return idx, vals, cnt
+
+        tidx, tval, tcnt = jax.vmap(trig_one)(ds, pyr, th)
+        return hist, maxds, tidx, tval, tcnt
+
+    def run_one(blk_arrs, th):
+        if demux == "os":
+            ds, pyr = _ds.ds_bank_demux_os_scan(
+                x, nv, blk_arrs[0], blk_arrs[1], blk_arrs[2], n_c, nc,
+                nfft)
+            return finish_os(ds, pyr, th)
+        return finish(_ds_of(x, blk_arrs, demux, n_c, nc, nfft), th)
+
     blocked = arrs[2].ndim == 3  # d_mask [nB, SB, Dmax] when pre-blocked
     if not blocked:
-        return finish(_ds_of(x, arrs, demux, n_c, nc, nfft), thresholds)
+        return run_one(arrs, thresholds)
 
     def one_block(args):
-        blk, th = args[:-1], args[-1]
-        return finish(_ds_of(x, blk, demux, n_c, nc, nfft), th)
+        return run_one(args[:-1], args[-1])
 
     hist, maxds, tidx, tval, tcnt = jax.lax.map(
         one_block, arrs + (thresholds,))
@@ -227,9 +252,12 @@ def _scan_chunks_jit(X, NV, arrs, thresholds, bins, demux, n_c, nc, nfft,
 
 
 def _valid_lens(bank, nc, X, valid_lens):
-    if valid_lens is None:
-        return np.full(X.shape[0], X.shape[1], np.int32)
+    """Per-chunk count of valid DS samples (windows fully inside real
+    data). Must never exceed the true output length — the OS scan path
+    carries full block-grid width and masks on this."""
     n = bank["n"]
+    if valid_lens is None:
+        valid_lens = [X.shape[1]] * X.shape[0]
     return np.asarray([(int(v) - n) // nc + 1 for v in valid_lens],
                       np.int32)
 

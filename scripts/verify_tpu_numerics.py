@@ -86,6 +86,34 @@ def main():
     bins = jnp.asarray(DEFAULT_BINS, jnp.float32)
     want = np.stack([np.asarray(_hist_counts(jnp.asarray(r), bins))
                      for r in ds_rows]).astype(np.int64)
+    # the fused OS scan path (ds + nv mask + pyramid + triggers) on
+    # device: pallas vs XLA fallback must agree on maxima and triggers
+    from detex_tpu.parallel import scan as pscan
+    th = np.full(1, 0.2, np.float32)   # one detector (D=4 basis dims)
+    X2 = np.stack([np.asarray(x, np.float32),
+                   np.asarray(x[::-1], np.float32)])
+    outs_scan = {}
+    for flag in ("1", "0"):
+        os.environ["DETEX_TPU_PALLAS"] = flag
+        dsops.ds_bank_demux_os_scan.clear_cache()
+        pscan._scan_chunks_jit.clear_cache()
+        h, mx, ti, tv, tc = pscan.scan_chunks(
+            X2, bank_os, th, nc, 200, max_trig=8,
+            valid_lens=[len(x), len(x) - 5000])
+        outs_scan[flag] = (np.asarray(h), np.asarray(mx), np.asarray(ti),
+                          np.asarray(tc))
+    os.environ.pop("DETEX_TPU_PALLAS", None)
+    h1, mx1, ti1, tc1 = outs_scan["1"]
+    h0, mx0, ti0, tc0 = outs_scan["0"]
+    d_mx = float(np.abs(mx1 - mx0).max())
+    print("os-scan pallas-vs-xla maxds|diff| = %.3g, trig equal = %s, "
+          "hist cells diff = %d"
+          % (d_mx, bool((ti1 == ti0).all() and (tc1 == tc0).all()),
+             int((h1 != h0).sum())))
+    assert d_mx < 1e-5, "fused OS scan maxds drifted"
+    assert (tc1 == tc0).all() and (ti1 == ti0).all(), \
+        "fused OS scan triggers drifted"
+
     nbad = int((got != want).sum())
     print("hist mismatch cells: %d / %d" % (nbad, got.size))
     # row totals must match exactly; individual cells may differ for

@@ -168,3 +168,22 @@ def test_classic_sta_lta_detects_transient(rng):
     assert cft[:500].max() == 0
     assert cft.argmax() >= 3000
     assert cft.max() > 5
+
+
+def test_triggers_pyramid_pm_matches_topk(rng):
+    """Precomputed-pyramid extractor == flat topk on the same ceval."""
+    import jax.numpy as jnp
+
+    from detex_tpu.ops import triggers as trg
+
+    block = 128
+    for L, buff, tails in [(128 * 160, 500, 0), (128 * 160, 500, 3000),
+                           (128 * 40, 37, 700), (128 * 8, 4096, 0)]:
+        C = _planted(rng, L, 10, tails)
+        pyr = np.asarray(jnp.asarray(C).reshape(-1, block).max(axis=-1))
+        i1, c1 = trg.extract_triggers_topk(C, 0.5, buff, max_triggers=16)
+        i2, c2 = trg.extract_triggers_pyramid_pm(C, pyr, 0.5, buff,
+                                                 max_triggers=16)
+        assert int(c1) == int(c2), (L, buff, tails)
+        assert np.asarray(i1).tolist() == np.asarray(i2).tolist(), \
+            (L, buff, tails)
