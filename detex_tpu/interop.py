@@ -97,9 +97,11 @@ def writeKMLfromHYPInput(hypin="test.pha", outname="hypoInInv.kml"):
     pts = []
     with open(hypin) as fh:
         for line in fh:
-            if not line.startswith(" " * 6) or len(line.rstrip()) < 29:
+            # blank trailing fields mean zero in this fixed-width format,
+            # so pad short terminator lines rather than dropping them
+            if not line.startswith(" " * 6) or len(line.rstrip("\n")) < 16:
                 continue
-            z = line.replace(" ", "0")
+            z = line.rstrip("\n").ljust(29).replace(" ", "0")
             lat = (float(z[14:16]) +
                    (float(z[17:19]) + float(z[19:21]) / 100.0) / 60.0)
             lon = -(float(z[21:24]) +

@@ -35,9 +35,14 @@ def _precision():
     # is 8.4e-7 on device (HIGHEST: 6.2e-9, 2x the matmul cost; DEFAULT
     # bf16 is NOT accurate enough for the 1e-5 parity gates)
     p = os.environ.get("DETEX_TPU_DFT_PRECISION", "high").lower()
-    return {"default": jax.lax.Precision.DEFAULT,
-            "high": jax.lax.Precision.HIGH,
-            "highest": jax.lax.Precision.HIGHEST}[p]
+    table = {"default": jax.lax.Precision.DEFAULT,
+             "high": jax.lax.Precision.HIGH,
+             "highest": jax.lax.Precision.HIGHEST}
+    if p not in table:
+        raise ValueError(
+            "DETEX_TPU_DFT_PRECISION=%r not one of %s" %
+            (p, sorted(table)))
+    return table[p]
 
 
 def use_matmul_fft():

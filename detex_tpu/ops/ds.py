@@ -252,6 +252,14 @@ def ds_bank_demux_chunks(X, Ufd2, sum_u, d_mask, n_c, nc, nfft2):
 # ---------------------------------------------------------------------------
 
 
+def os_min_block(n_c):
+    """Smallest legal overlap-save block FFT for per-channel template
+    length n_c: the lane-aligned discard head plus one 128-sample output
+    stride (see ds_bank_demux_os)."""
+    pad0 = (-(n_c - 1)) % 128
+    return n_c - 1 + pad0 + 128
+
+
 def make_bank_demux_os(U_list, nc, blk_fft, dtype=jnp.float32):
     """Pack [D_i, n] multiplexed bases into an overlap-save demuxed bank:
     Ufd2 [S, Dmax, nc, blk_fft//2+1] (rfft of reversed per-channel
@@ -259,7 +267,9 @@ def make_bank_demux_os(U_list, nc, blk_fft, dtype=jnp.float32):
     n = U_list[0].shape[1]
     assert n % nc == 0
     n_c = n // nc
-    assert blk_fft > n_c, "block FFT must exceed the per-channel template"
+    assert blk_fft >= os_min_block(n_c), \
+        "block FFT too small: need >= aligned head + 128 " \
+        "(os_min_block(n_c) = %d)" % os_min_block(n_c)
     S = len(U_list)
     Dmax = max(u.shape[0] for u in U_list)
     Ud = np.zeros((S, Dmax, nc, n_c), dtype=np.float64)
@@ -431,8 +441,15 @@ def build_bank(U_list, nc, data_len_samps, dtype=jnp.float32,
         if use_os:
             blk = int(block_fft) if block_fft else \
                 2 ** int(4 * n_c).bit_length()
+            # the aligned decomposition needs head + one 128-stride
+            # (short templates would otherwise get an all-head block)
+            while blk < os_min_block(n_c):
+                blk *= 2
             blk = min(blk, nfft2)
-            bank = make_bank_demux_os(U_list, nc, blk, dtype)
+            if blk < os_min_block(n_c):  # chunk too short for OS blocks
+                bank = make_bank_demux(U_list, nc, nfft2, dtype)
+            else:
+                bank = make_bank_demux_os(U_list, nc, blk, dtype)
         else:
             bank = make_bank_demux(U_list, nc, nfft2, dtype)
     else:

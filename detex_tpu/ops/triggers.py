@@ -118,99 +118,24 @@ def extract_triggers_topk(ceval, threshold, buff_samps, max_triggers=64):
     return out, count
 
 
-@partial(jax.jit, static_argnames=("buff_samps", "max_triggers", "block"))
-def extract_triggers_pyramid(ceval, threshold, buff_samps, max_triggers=64,
-                             block=512):
-    """
-    Block-max pyramid variant of ``extract_triggers_topk`` with identical
-    outputs (same argmax-first-occurrence and three-case suppression
-    semantics, reference detect.py:390-445, 545-557).
+def _pyramid_suppress_scan(cp, pyr0, threshold, buff_samps, max_triggers,
+                           block, L):
+    """Shared argmax/suppression scan over a block-max pyramid.
 
-    ``extract_triggers_topk`` carries the full [L] statistic through a
-    ``max_triggers``-step scan — at a 1000-detector bank that carry is
-    GB-scale HBM traffic per chunk. Here the scan carries only per-block
-    (max, argmax) summaries; each suppression zeroes covered blocks in the
-    summary and recomputes just the two boundary blocks from the raw values
-    with the accumulated suppression intervals masked out.
-    """
-    L = ceval.shape[0]
-    c = ceval.astype(jnp.float32)
-    nblk = -(-L // block)
-    Lp = nblk * block
-    cp = jnp.pad(c, (0, Lp - L), constant_values=-jnp.inf)
-    tiles = cp.reshape(nblk, block)
-    pyr_max0 = tiles.max(axis=1)
-    pyr_arg0 = (tiles.argmax(axis=1).astype(jnp.int32) +
-                jnp.arange(nblk, dtype=jnp.int32) * block)
+    ``cp`` [nblk*block] is the (padded) statistic, ``pyr0`` [nblk] its
+    per-block maxima, ``L`` the reference length for the three-case
+    suppression clamp. Each step takes the pyramid argmax, recovers the
+    exact first-occurrence index by re-reading just that block with the
+    accumulated suppression intervals masked to 0.0 (the reference
+    zeroes, not removes), zeroes fully-covered blocks in the summary,
+    and recomputes the two boundary blocks. Output-identical to
+    extract_triggers_topk for any threshold > 0."""
+    nblk = pyr0.shape[0]
     pos_in_blk = jnp.arange(block, dtype=jnp.int32)
     bidx = jnp.arange(nblk, dtype=jnp.int32)
 
     def recompute(b, los, his):
-        """(max, abs-argmax) of block ``b`` with every recorded suppression
-        interval masked to 0.0 (the reference zeroes, not removes)."""
         vals = jax.lax.dynamic_slice(cp, (b * block,), (block,))
-        pos = b * block + pos_in_blk
-        inside = ((pos[None, :] >= los[:, None]) &
-                  (pos[None, :] < his[:, None])).any(axis=0)
-        vals = jnp.where(inside, 0.0, vals)
-        return vals.max(), b * block + vals.argmax().astype(jnp.int32)
-
-    def body(carry, _):
-        pyr_max, pyr_arg, los, his, k = carry
-        j = jnp.argmax(pyr_max)
-        i = pyr_arg[j]
-        valid = pyr_max[j] >= threshold
-        lo = jnp.where(i < buff_samps + 1, 0, i - buff_samps)
-        hi = jnp.where(i < buff_samps + 1, i + buff_samps,
-                       jnp.where(i > L - buff_samps, L, i + buff_samps))
-        los = los.at[k].set(jnp.where(valid, lo, L + 1))
-        his = his.at[k].set(jnp.where(valid, hi, 0))
-        # blocks fully inside [lo, hi): summary -> zeroed block
-        full = valid & (bidx * block >= lo) & ((bidx + 1) * block <= hi)
-        pyr_max = jnp.where(full, 0.0, pyr_max)
-        pyr_arg = jnp.where(full, bidx * block, pyr_arg)
-        # the (at most two) partially covered boundary blocks
-        blo = jnp.clip(lo // block, 0, nblk - 1).astype(jnp.int32)
-        bhi = jnp.clip((hi - 1) // block, 0, nblk - 1).astype(jnp.int32)
-        for b in (blo, bhi):
-            bm, ba = recompute(b, los, his)
-            pyr_max = pyr_max.at[b].set(jnp.where(valid, bm, pyr_max[b]))
-            pyr_arg = pyr_arg.at[b].set(jnp.where(valid, ba, pyr_arg[b]))
-        out_i = jnp.where(valid, i.astype(jnp.int32), jnp.int32(-1))
-        return (pyr_max, pyr_arg, los, his, k + 1), out_i
-
-    # derive every initial carry from the input so they inherit varying
-    # manual axes inside shard_map (same trick as extract_triggers)
-    zero = (c[0] * 0).astype(jnp.int32)
-    los0 = jnp.full((max_triggers,), L + 1, jnp.int32) + zero
-    his0 = jnp.zeros((max_triggers,), jnp.int32) + zero
-    _, out = jax.lax.scan(
-        body, (pyr_max0, pyr_arg0, los0, his0, zero), None,
-        length=max_triggers)
-    count = jnp.sum((out >= 0).astype(jnp.int32))
-    return out, count
-
-
-@partial(jax.jit, static_argnames=("buff_samps", "max_triggers", "block"))
-def extract_triggers_pyramid_pm(ceval, pyr_max, threshold, buff_samps,
-                                max_triggers=64, block=128):
-    """
-    extract_triggers_pyramid with a PRECOMPUTED block-max pyramid (e.g.
-    emitted by the fused pallas finalize — no extra sweep over ceval).
-    ``ceval`` must have length ``len(pyr_max) * block`` (pad positions
-    pre-masked to -inf); no per-block argmax is carried — the winning
-    block's exact index is recovered by re-reading that one block.
-    Output-identical to extract_triggers_topk on the same ceval.
-    """
-    L = ceval.shape[0]
-    nblk = pyr_max.shape[0]
-    assert nblk * block == L
-    c = ceval.astype(jnp.float32)
-    pos_in_blk = jnp.arange(block, dtype=jnp.int32)
-    bidx = jnp.arange(nblk, dtype=jnp.int32)
-
-    def recompute(b, los, his):
-        vals = jax.lax.dynamic_slice(c, (b * block,), (block,))
         pos = b * block + pos_in_blk
         inside = ((pos[None, :] >= los[:, None]) &
                   (pos[None, :] < his[:, None])).any(axis=0)
@@ -228,8 +153,10 @@ def extract_triggers_pyramid_pm(ceval, pyr_max, threshold, buff_samps,
                        jnp.where(i > L - buff_samps, L, i + buff_samps))
         los = los.at[k].set(jnp.where(valid, lo, L + 1))
         his = his.at[k].set(jnp.where(valid, hi, 0))
+        # blocks fully inside [lo, hi): summary -> zeroed block
         full = valid & (bidx * block >= lo) & ((bidx + 1) * block <= hi)
         pyr = jnp.where(full, 0.0, pyr)
+        # the (at most two) partially covered boundary blocks
         blo = jnp.clip(lo // block, 0, nblk - 1).astype(jnp.int32)
         bhi = jnp.clip((hi - 1) // block, 0, nblk - 1).astype(jnp.int32)
         for b in (blo, bhi):
@@ -238,11 +165,51 @@ def extract_triggers_pyramid_pm(ceval, pyr_max, threshold, buff_samps,
         out_i = jnp.where(valid, i.astype(jnp.int32), jnp.int32(-1))
         return (pyr, los, his, k + 1), out_i
 
-    zero = (c[0] * 0).astype(jnp.int32)
+    # derive every initial carry from the input so they inherit varying
+    # manual axes inside shard_map (same trick as extract_triggers)
+    zero = (cp[0] * 0).astype(jnp.int32)
     los0 = jnp.full((max_triggers,), L + 1, jnp.int32) + zero
     his0 = jnp.zeros((max_triggers,), jnp.int32) + zero
-    _, out = jax.lax.scan(
-        body, (pyr_max.astype(jnp.float32), los0, his0, zero), None,
-        length=max_triggers)
+    _, out = jax.lax.scan(body, (pyr0.astype(jnp.float32), los0, his0,
+                                 zero), None, length=max_triggers)
     count = jnp.sum((out >= 0).astype(jnp.int32))
     return out, count
+
+
+@partial(jax.jit, static_argnames=("buff_samps", "max_triggers", "block"))
+def extract_triggers_pyramid(ceval, threshold, buff_samps, max_triggers=64,
+                             block=512):
+    """
+    Block-max pyramid variant of ``extract_triggers_topk`` with identical
+    outputs (same argmax-first-occurrence and three-case suppression
+    semantics, reference detect.py:390-445, 545-557).
+
+    ``extract_triggers_topk`` carries the full [L] statistic through a
+    ``max_triggers``-step scan — at a 1000-detector bank that carry is
+    GB-scale HBM traffic per chunk. Here the scan carries only per-block
+    maxima; the selected block is re-read to recover the exact index.
+    """
+    L = ceval.shape[0]
+    c = ceval.astype(jnp.float32)
+    nblk = -(-L // block)
+    cp = jnp.pad(c, (0, nblk * block - L), constant_values=-jnp.inf)
+    pyr0 = cp.reshape(nblk, block).max(axis=1)
+    return _pyramid_suppress_scan(cp, pyr0, threshold, buff_samps,
+                                  max_triggers, block, L)
+
+
+@partial(jax.jit, static_argnames=("buff_samps", "max_triggers", "block"))
+def extract_triggers_pyramid_pm(ceval, pyr_max, threshold, buff_samps,
+                                max_triggers=64, block=128):
+    """
+    extract_triggers_pyramid with a PRECOMPUTED block-max pyramid (e.g.
+    emitted by the fused pallas finalize — no extra sweep over ceval).
+    ``ceval`` must have length ``len(pyr_max) * block`` (pad positions
+    pre-masked to -inf). Output-identical to extract_triggers_topk on
+    the same ceval.
+    """
+    L = ceval.shape[0]
+    assert pyr_max.shape[0] * block == L
+    return _pyramid_suppress_scan(ceval.astype(jnp.float32), pyr_max,
+                                  threshold, buff_samps, max_triggers,
+                                  block, L)

@@ -90,3 +90,21 @@ def test_blocked_scan_sharded(rng200):
     h1, m1, *_ = pscan.scan_chunks(X, bank, th, NC, 100, max_trig=8)
     assert np.allclose(np.asarray(hist), np.asarray(h1))
     assert np.allclose(np.asarray(maxds), np.asarray(m1), atol=1e-5)
+
+
+def test_short_template_os_auto_block(rng200):
+    """Short templates (n_c < 32) must get a legal OS block size from
+    build_bank's auto choice (regression: the lane-aligned decomposition
+    asserted on blk=128 all-head blocks)."""
+    n = 60  # n_c = 20
+    T = rng200.standard_normal((3, n))
+    U_list = [np.ascontiguousarray((t / np.linalg.norm(t))[None, :])
+              for t in T]
+    bank = dsops.build_bank(U_list, NC, LC, block_fft=128)
+    # the requested 128 is below the aligned minimum and must be raised
+    assert bank.get("os") and bank["blk_fft"] >= dsops.os_min_block(20)
+    x = rng200.standard_normal(LC)
+    got = dsops.run_bank(x, bank, NC)
+    for i, u in enumerate(U_list):
+        want = dsops.ds_numpy(x, u, NC)
+        assert np.abs(got[i] - want).max() < 2e-5
