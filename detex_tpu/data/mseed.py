@@ -1,0 +1,156 @@
+"""
+Native miniSEED v2 reader/writer (no obspy).
+
+The reference stores every event and continuous archive as miniSEED via
+obspy (getdata.py); detex_tpu reads and writes the format natively so the
+framework is standalone: record parsing + STEIM1/STEIM2/INT16/INT32/
+FLOAT32/FLOAT64 decoding run in the C++ host library
+(native/detex_host.cpp ``detex_mseed_record``), trace assembly and record
+packing here.
+
+Scope: miniSEED v2 with blockette 1000 (which everything modern writes);
+no blockette-100 rate override, ASCII, or legacy encodings.
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from detex_tpu import native
+from detex_tpu.core.stream import Stream, Trace
+from detex_tpu.core.utc import UTCDateTime
+
+_ENCODINGS = {"STEIM1": 10, "INT32": 3, "FLOAT32": 4, "FLOAT64": 5}
+
+
+def available():
+    """Native miniSEED support present?"""
+    return native.available()
+
+
+def read_mseed(path):
+    """Read a miniSEED file into a Stream (traces split on gaps larger
+    than half a sample)."""
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    recs = []
+    off = 0
+    while off + 64 <= len(buf):
+        reclen, ident, t0, sr, x = native.mseed_record(buf, off)
+        off += reclen
+        if sr > 0 and len(x):
+            recs.append((ident, t0, sr, x))
+    recs.sort(key=lambda r: (r[0], r[1]))
+    traces = []
+    cur = None
+    for ident, t0, sr, x in recs:
+        # contiguity check against the running end time
+        if (cur is not None and cur["id"] == ident and cur["sr"] == sr and
+                abs(t0 - cur["end"]) < 0.5 / sr):
+            cur["data"].append(x)
+            cur["end"] += len(x) / sr
+            continue
+        if cur is not None:
+            traces.append(cur)
+        cur = dict(id=ident, t0=t0, sr=sr, data=[x],
+                   end=t0 + len(x) / sr)
+    if cur is not None:
+        traces.append(cur)
+    out = []
+    for tr in traces:
+        net, sta, loc, chan = (tr["id"].split(".") + [""] * 4)[:4]
+        data = np.concatenate(tr["data"])
+        out.append(Trace(data, header=dict(
+            network=net, station=sta, location=loc, channel=chan,
+            sampling_rate=tr["sr"], starttime=UTCDateTime(tr["t0"]))))
+    return Stream(traces=out)
+
+
+def _btime(t):
+    """(year, doy, hour, minute, sec, fract0.1ms) of an epoch second."""
+    u = UTCDateTime(t)
+    tt = u.datetime.timetuple()
+    frac = int(round((t - np.floor(t)) * 1e4))
+    sec = tt.tm_sec
+    if frac >= 10000:   # rounding carried into the next second
+        frac -= 10000
+        sec += 1
+    return tt.tm_year, tt.tm_yday, tt.tm_hour, tt.tm_min, sec, frac
+
+
+def _pack_header(seq, net, sta, loc, chan, t0, sr, nsamp, enc, reclen_log):
+    year, doy, hh, mm, ss, frac = _btime(t0)
+    # integer sample-rate factor/multiplier
+    if sr >= 1:
+        f = int(round(sr))
+        m = 1
+    else:
+        f = -int(round(1.0 / sr))
+        m = 1
+    hdr = struct.pack(
+        ">6scc5s2s3s2sHHBBBxHHhhBBBBlHH",
+        ("%06d" % (seq % 1000000)).encode(), b"D", b" ",
+        sta[:5].ljust(5).encode(), loc[:2].ljust(2).encode(),
+        chan[:3].ljust(3).encode(), net[:2].ljust(2).encode(),
+        year, doy, hh, mm, ss, frac, nsamp, f, m,
+        0, 0, 0, 1,      # activity/io/quality flags, 1 blockette
+        0,               # time correction
+        64, 48)          # data offset, first blockette offset
+    b1000 = struct.pack(">HHBBBx", 1000, 0, enc, 1, reclen_log)
+    return hdr + b1000 + b"\x00" * (64 - len(hdr) - len(b1000))
+
+
+def write_mseed(st, path, encoding="STEIM1", reclen=4096):
+    """Write a Stream as miniSEED v2 (big-endian, blockette 1000).
+
+    STEIM1 for integral data (the default rounds floats — matching the
+    reference's obspy-written integer archives), FLOAT32/FLOAT64 for
+    lossless float storage, INT32 for raw counts."""
+    if encoding not in _ENCODINGS:
+        raise ValueError("encoding must be one of %s" %
+                         sorted(_ENCODINGS))
+    enc = _ENCODINGS[encoding]
+    reclen_log = int(np.log2(reclen))
+    if (1 << reclen_log) != reclen or reclen < 128:
+        raise ValueError("reclen must be a power of two >= 128")
+    payload = reclen - 64
+    seq = 1
+    out = []
+    for tr in st:
+        net = tr.stats.network or ""
+        sta = tr.stats.station or ""
+        loc = getattr(tr.stats, "location", "") or ""
+        chan = tr.stats.channel or ""
+        sr = float(tr.stats.sampling_rate)
+        t = float(tr.stats.starttime.timestamp)
+        if encoding == "STEIM1":
+            data = np.asarray(np.round(tr.data), np.int32)
+        elif encoding == "INT32":
+            data = np.asarray(tr.data, np.int32)
+        elif encoding == "FLOAT32":
+            data = np.asarray(tr.data, np.float32)
+        else:
+            data = np.asarray(tr.data, np.float64)
+        i = 0
+        while i < len(data):
+            if encoding == "STEIM1":
+                got, frames = native.steim1_encode(data[i:],
+                                                   payload // 64)
+                body = frames
+            else:
+                per = payload // data.itemsize
+                got = min(per, len(data) - i)
+                body = data[i:i + got].astype(
+                    data.dtype.newbyteorder(">")).tobytes()
+                body += b"\x00" * (payload - len(body))
+            if got <= 0:
+                raise IOError("miniSEED encoding stalled")
+            out.append(_pack_header(seq, net, sta, loc, chan, t, sr,
+                                    got, enc, reclen_log) + body)
+            seq += 1
+            t += got / sr
+            i += got
+    with open(path, "wb") as fh:
+        fh.write(b"".join(out))
+    return path

@@ -2,8 +2,10 @@
 Waveform file IO.
 
 Native format is ``npz`` (numpy archive + JSON header) — hermetic, fast, no
-external deps. If obspy is installed, miniSEED/SAC/pickle read/write are
-transparently supported too (the reference's formats, getdata.py:33-47).
+external deps. miniSEED is read/written NATIVELY via the C++ host library
+(data/mseed.py: STEIM1/2 + int/float encodings — the reference's archive
+format, getdata.py:33-47, without needing obspy). If obspy is installed,
+SAC/pickle and anything else obspy reads are transparently supported too.
 """
 from __future__ import annotations
 
@@ -33,6 +35,11 @@ def _obspy():
 
 def write_stream(st, path, format="npz"):
     fmt = str(format).lower()
+    if fmt == "mseed":
+        from detex_tpu.data import mseed as _ms
+        if _ms.available():
+            return _ms.write_mseed(st, path)
+        # fall through to obspy if the native lib could not build
     if fmt == "npz":
         arrays = {}
         meta = []
@@ -86,10 +93,26 @@ def _read(path):
                 stats = Stats(m)
                 st.append(Trace(z["data_%d" % i], stats))
         return st
+    if _looks_mseed(path):
+        from detex_tpu.data import mseed as _ms
+        if _ms.available():
+            return _ms.read_mseed(path)
     ob = _obspy()
     if ob is None:
         raise IOError("cannot read %s without obspy" % path)
     return _from_obspy(ob.read(path))
+
+
+def _looks_mseed(path):
+    """miniSEED sniff: 6-digit sequence + D/R/Q/M quality byte."""
+    try:
+        with open(path, "rb") as fh:
+            head = fh.read(8)
+    except OSError:
+        return False
+    return (len(head) >= 8 and
+            all(48 <= b <= 57 or b == 32 for b in head[:6]) and
+            head[6:7] in (b"D", b"R", b"Q", b"M"))
 
 
 def _from_obspy(ost):

@@ -50,8 +50,17 @@ def _load():
     lib.detex_prep_chunk.restype = ctypes.c_int
     lib.detex_rolling_std.argtypes = [dptr, ctypes.c_int64, ctypes.c_int64,
                                       dptr]
+    u8ptr = ctypes.POINTER(ctypes.c_uint8)
+    lib.detex_mseed_record.argtypes = [
+        u8ptr, ctypes.c_int64, ctypes.c_char_p, dptr, dptr,
+        ctypes.POINTER(ctypes.c_int32), dptr, ctypes.c_int64]
+    lib.detex_mseed_record.restype = ctypes.c_int
+    lib.detex_steim1_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, u8ptr,
+        ctypes.c_int]
+    lib.detex_steim1_encode.restype = ctypes.c_int
     lib.detex_abi_version.restype = ctypes.c_int
-    if lib.detex_abi_version() != 1:
+    if lib.detex_abi_version() != 2:
         return None
     _LIB = lib
     return _LIB
@@ -140,3 +149,44 @@ def rolling_std(x, win):
     out = np.empty(len(x) - win + 1, dtype=np.float64)
     lib.detex_rolling_std(_as_c(x), len(x), win, _as_c(out))
     return out
+
+
+def mseed_record(buf, offset, max_samps=65536):
+    """Decode one miniSEED record from ``buf`` at ``offset``.
+
+    Returns (reclen, id, t0, sr, samples[np.float64]) or raises IOError
+    with the native error code. Requires the native library (there is no
+    python fallback; callers gate on available())."""
+    lib = _load()
+    if lib is None:
+        raise IOError("native library unavailable for miniSEED decoding")
+    mv = np.frombuffer(buf, dtype=np.uint8, count=len(buf) - offset,
+                       offset=offset)
+    ident = ctypes.create_string_buffer(24)
+    t0 = ctypes.c_double()
+    sr = ctypes.c_double()
+    ns = ctypes.c_int32()
+    out = np.empty(max_samps, np.float64)
+    rc = lib.detex_mseed_record(
+        mv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(mv),
+        ident, ctypes.byref(t0), ctypes.byref(sr), ctypes.byref(ns),
+        _as_c(out), max_samps)
+    if rc <= 0:
+        raise IOError("miniSEED record decode failed (code %d) at "
+                      "offset %d" % (rc, offset))
+    return rc, ident.value.decode(), t0.value, sr.value, \
+        out[:ns.value].copy()
+
+
+def steim1_encode(samples, nframes):
+    """STEIM1-encode int32 ``samples`` into ``nframes`` 64-byte frames.
+    Returns (n_encoded, frame_bytes)."""
+    lib = _load()
+    if lib is None:
+        raise IOError("native library unavailable for miniSEED encoding")
+    x = np.ascontiguousarray(samples, dtype=np.int32)
+    out = np.zeros(nframes * 64, np.uint8)
+    got = lib.detex_steim1_encode(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(x),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nframes)
+    return int(got), out.tobytes()

@@ -292,28 +292,36 @@ def make_bank_demux_os(U_list, nc, blk_fft, dtype=jnp.float32):
 def ds_bank_demux_os(x, Ufd2, sum_u, d_mask, n_c, nc, blk_fft):
     """Overlap-save DS of one multiplexed chunk. Same contract as
     ds_bank_demux: x [Lc] -> [S, Lc//nc - n_c + 1]."""
-    return _os_core(x, Ufd2, sum_u, d_mask, n_c, nc, blk_fft)
+    F, a, power = os_prep(x, n_c, nc, blk_fft)
+    return _os_block(F, a, power, Ufd2, sum_u, d_mask, n_c, nc, blk_fft,
+                     x.shape[0] // nc)
 
 
-def _os_core(x, Ufd2, sum_u, d_mask, n_c, nc, blk_fft, nv=None):
-    """Shared overlap-save DS pipeline. With ``nv`` (scan path) returns
-    either a (masked ds_full, pyr_max) tuple (pallas) or the UNMASKED
-    full-width ds [S, m*W] (XLA fallback — caller masks); without ``nv``
-    returns ds[:, :out_len]."""
-    Lc = x.shape[0]
-    L_c = Lc // nc
-    n = n_c * nc
+def _os_geometry(L_c, n_c, blk_fft):
+    """Lane-aligned overlap-save decomposition: left-pad the signal so
+    each block's circularly-contaminated head D0 (>= n_c-1) is a multiple
+    of 128 — the finalize then slices tiles at aligned offsets (an
+    unaligned slice makes Mosaic lane-rotate every tile), and the block
+    advance W = blk - D0 is 128-aligned for the output grid."""
     out_len = L_c - n_c + 1
-    # lane-aligned decomposition: left-pad the signal so each block's
-    # circularly-contaminated head D0 (>= n_c-1) is a multiple of 128 —
-    # the finalize then slices tiles at aligned offsets (an unaligned
-    # slice makes Mosaic lane-rotate every tile), and the block advance
-    # W = blk - D0 is 128-aligned for the output grid.
     pad0 = (-(n_c - 1)) % 128
     D0 = n_c - 1 + pad0
     W = blk_fft - D0
     assert W >= 128, "block FFT too small for the aligned decomposition"
     m = -(-out_len // W)                        # block count
+    return out_len, pad0, D0, W, m
+
+
+def os_prep(x, n_c, nc, blk_fft):
+    """Chunk-shared prep of the overlap-save pipeline — standardization,
+    window stats, overlapping-window construction and the forward block
+    transform. Compute ONCE per chunk; every template block reuses the
+    returned (F [nc, m, R], a, power). (XLA does not hoist this
+    loop-invariant work out of a lax.map over template blocks.)"""
+    Lc = x.shape[0]
+    L_c = Lc // nc
+    n = n_c * nc
+    out_len, pad0, D0, W, m = _os_geometry(L_c, n_c, blk_fft)
     mu = jnp.mean(x)
     sd = jnp.std(x)
     xs = (x - mu) / jnp.where(sd == 0, 1.0, sd)
@@ -338,11 +346,25 @@ def _os_core(x, Ufd2, sum_u, d_mask, n_c, nc, blk_fft, nv=None):
     rows = [xp[:, j * W:(m + j) * W].reshape(nc, m, W) for j in range(k)]
     xb = jnp.concatenate(rows, axis=2)[:, :, :blk_fft]  # [nc, m, blk]
     # block transforms: MXU matmul DFTs on TPU — this backend's FFT has a
-    # large per-FFT overhead and the bank needs S*m inverse transforms per
-    # chunk (ops/dft.py)
+    # large per-FFT overhead and the bank needs S*m inverse transforms
+    # per chunk (ops/dft.py)
     from detex_tpu.ops import dft as _dft
     if _dft.use_matmul_fft():
         F = _dft.rfft_ct(xb, blk_fft)           # [nc, m, R]
+    else:
+        F = jnp.fft.rfft(xb, blk_fft, axis=-1)
+    return F, a, power
+
+
+def _os_block(F, a, power, Ufd2, sum_u, d_mask, n_c, nc, blk_fft, L_c,
+              nv=None):
+    """One template block of the overlap-save pipeline from the shared
+    prep. With ``nv`` (scan path) returns either a (masked ds_full,
+    pyr_max) tuple (pallas) or the UNMASKED full-width ds [S, m*W] (XLA
+    fallback — caller masks); without ``nv`` returns ds[:, :out_len]."""
+    out_len, pad0, D0, W, m = _os_geometry(L_c, n_c, blk_fft)
+    from detex_tpu.ops import dft as _dft
+    if _dft.use_matmul_fft():
         # cross-spectra: the einsum form lowers to r-batched [S,c]@[c,m]
         # micro-matmuls (per-call overhead again); an unrolled fused
         # multiply-add over the nc=3 channel axis stays elementwise
@@ -350,7 +372,6 @@ def _os_core(x, Ufd2, sum_u, d_mask, n_c, nc, blk_fft, nv=None):
                    for c in range(Ufd2.shape[2]))
         cb = _dft.irfft_ct(spec, blk_fft)       # [S, Dmax, m, blk]
     else:
-        F = jnp.fft.rfft(xb, blk_fft, axis=-1)
         spec = jnp.einsum("sdcr,cmr->sdmr", Ufd2, F)
         cb = jnp.fft.irfft(spec, blk_fft, axis=-1)
 
@@ -387,18 +408,13 @@ def _os_core(x, Ufd2, sum_u, d_mask, n_c, nc, blk_fft, nv=None):
     return num / powsafe[None, :]
 
 
-@partial(jax.jit, static_argnames=("n_c", "nc", "blk_fft"))
-def ds_bank_demux_os_scan(x, nv, Ufd2, sum_u, d_mask, n_c, nc, blk_fft):
-    """
-    Scan-path variant of ds_bank_demux_os: returns
-    (ds [S, m*W] with DS positions >= nv masked to -inf,
-     pyr_max [S, (m*W)//128] per-128-sample block maxima).
-
-    The pad-window mask, trigger pyramid, and global max come out of the
-    fused pallas finalize instead of three extra full sweeps over the DS
-    array. The XLA fallback computes the identical outputs.
-    """
-    ds_full = _os_core(x, Ufd2, sum_u, d_mask, n_c, nc, blk_fft, nv=nv)
+def os_block_scan(F, a, power, Ufd2, sum_u, d_mask, n_c, nc, blk_fft, L_c,
+                  nv):
+    """Scan-path per-template-block compute from the shared prep:
+    returns (ds [S, m*W] with DS positions >= nv masked to -inf,
+    pyr_max [S, (m*W)//128] per-128-sample block maxima)."""
+    ds_full = _os_block(F, a, power, Ufd2, sum_u, d_mask, n_c, nc,
+                        blk_fft, L_c, nv=nv)
     if isinstance(ds_full, tuple):      # pallas path emitted the pyramid
         return ds_full
     S = ds_full.shape[0]
@@ -406,6 +422,15 @@ def ds_bank_demux_os_scan(x, nv, Ufd2, sum_u, d_mask, n_c, nc, blk_fft):
     ds = jnp.where(pos[None, :] < nv, ds_full, -jnp.inf)
     pyr = ds.reshape(S, -1, 128).max(axis=-1)
     return ds, pyr
+
+
+@partial(jax.jit, static_argnames=("n_c", "nc", "blk_fft"))
+def ds_bank_demux_os_scan(x, nv, Ufd2, sum_u, d_mask, n_c, nc, blk_fft):
+    """Single-call scan variant (prep + one block); the batched scan
+    hoists os_prep out of its template-block loop instead."""
+    F, a, power = os_prep(x, n_c, nc, blk_fft)
+    return os_block_scan(F, a, power, Ufd2, sum_u, d_mask, n_c, nc,
+                         blk_fft, x.shape[0] // nc, nv)
 
 
 # full-length spectra above this many complex elements switch the bank to

@@ -214,11 +214,18 @@ def _chunk_fn(x, nv, arrs, thresholds, bins, demux, n_c, nc, nfft,
         tidx, tval, tcnt = jax.vmap(trig_one)(ds, pyr, th)
         return hist, maxds, tidx, tval, tcnt
 
+    if demux == "os":
+        # chunk-shared prep (stats + windows + forward transform) hoisted
+        # out of the template-block loop: XLA does not hoist it out of
+        # the lax.map below, and at 8 blocks that is 8x the shared work
+        osF, os_a, os_pw = _ds.os_prep(x, n_c, nc, nfft)
+        os_Lc = x.shape[0] // nc
+
     def run_one(blk_arrs, th):
         if demux == "os":
-            ds, pyr = _ds.ds_bank_demux_os_scan(
-                x, nv, blk_arrs[0], blk_arrs[1], blk_arrs[2], n_c, nc,
-                nfft)
+            ds, pyr = _ds.os_block_scan(
+                osF, os_a, os_pw, blk_arrs[0], blk_arrs[1], blk_arrs[2],
+                n_c, nc, nfft, os_Lc, nv)
             return finish_os(ds, pyr, th)
         return finish(_ds_of(x, blk_arrs, demux, n_c, nc, nfft), th)
 

@@ -1,0 +1,161 @@
+"""Native miniSEED codec: round-trips, hand-built STEIM2 vectors, gap
+splitting, waveio integration (no obspy required)."""
+import struct
+
+import numpy as np
+import pytest
+
+from detex_tpu import native
+from detex_tpu.core.stream import Stream, Trace
+from detex_tpu.core.utc import UTCDateTime
+from detex_tpu.data import mseed, waveio
+
+pytestmark = pytest.mark.skipif(not mseed.available(),
+                                reason="native library unavailable")
+
+
+def _stream(rng, n=5000, sr=100.0, t0=1262304000.0, kind="int"):
+    if kind == "int":
+        data = np.cumsum(rng.integers(-300, 300, size=n)).astype(
+            np.float64)
+    else:
+        data = rng.standard_normal(n)
+    tr = Trace(data, header=dict(network="TA", station="S01",
+                                 location="", channel="BHZ",
+                                 sampling_rate=sr,
+                                 starttime=UTCDateTime(t0)))
+    return Stream(traces=[tr])
+
+
+@pytest.mark.parametrize("enc", ["STEIM1", "INT32", "FLOAT32", "FLOAT64"])
+def test_roundtrip(rng, tmp_path, enc):
+    st = _stream(rng, kind="int")
+    p = str(tmp_path / ("x_%s.msd" % enc))
+    mseed.write_mseed(st, p, encoding=enc, reclen=512)
+    st2 = mseed.read_mseed(p)
+    assert len(st2) == 1
+    tr = st2[0]
+    assert tr.stats.station == "S01" and tr.stats.channel == "BHZ"
+    assert tr.stats.sampling_rate == 100.0
+    assert abs(tr.stats.starttime.timestamp - 1262304000.0) < 1e-4
+    assert len(tr.data) == len(st[0].data)
+    assert np.array_equal(tr.data, st[0].data)
+
+
+def test_roundtrip_float_lossless(rng, tmp_path):
+    st = _stream(rng, kind="float")
+    p = str(tmp_path / "f.msd")
+    mseed.write_mseed(st, p, encoding="FLOAT64")
+    st2 = mseed.read_mseed(p)
+    assert np.array_equal(st2[0].data, st[0].data)
+
+
+def test_big_steim1_multi_record(rng, tmp_path):
+    # spans many 4096-byte records, wide dynamic range exercises
+    # 8/16/32-bit diff packing
+    n = 200000
+    data = np.cumsum(rng.integers(-40000, 40000, size=n)).astype(
+        np.float64)
+    data[1000:1100] += 2 ** 28   # forces 32-bit diffs
+    st = Stream(traces=[Trace(data, header=dict(
+        network="UU", station="ABCDE", location="01", channel="EHZ",
+        sampling_rate=40.0, starttime=UTCDateTime(1400000000.0)))])
+    p = str(tmp_path / "big.msd")
+    mseed.write_mseed(st, p, encoding="STEIM1")
+    st2 = mseed.read_mseed(p)
+    assert len(st2) == 1
+    assert np.array_equal(st2[0].data, data)
+    assert st2[0].stats.location == "01"
+
+
+def test_gap_splits_traces(rng, tmp_path):
+    st = _stream(rng, n=3000)
+    p1 = str(tmp_path / "a.msd")
+    mseed.write_mseed(st, p1, encoding="STEIM1", reclen=512)
+    # second segment 10 s later, same id
+    st2 = _stream(rng, n=2000, t0=1262304000.0 + 3000 / 100.0 + 10.0)
+    mseed.write_mseed(st2, str(tmp_path / "b.msd"), encoding="STEIM1",
+                      reclen=512)
+    buf = open(p1, "rb").read() + \
+        open(str(tmp_path / "b.msd"), "rb").read()
+    open(p1, "wb").write(buf)
+    got = mseed.read_mseed(p1)
+    assert len(got) == 2
+    assert len(got[0].data) == 3000 and len(got[1].data) == 2000
+
+
+def test_steim2_handbuilt_vector(tmp_path):
+    """Decode a hand-assembled STEIM2 record: one frame with 30-bit,
+    2x15-bit, 3x10-bit, 7x4-bit and 4x8-bit diff words."""
+    x0 = 1000
+    diffs = [0,                  # first diff (discarded, c=2/dnib=1 word)
+             -5, 7,              # 2 x 15-bit
+             100, -200, 300,     # 3 x 10-bit
+             1, -2, 3, -4, 5, -6, 7,   # 7 x 4-bit
+             120, -120, 99, -99]  # 4 x 8-bit
+    samples = [x0]
+    for d in diffs[1:]:
+        samples.append(samples[-1] + d)
+    words = []
+    nibs = []
+    # w1, w2: integration constants
+    words += [x0 & 0xffffffff, samples[-1] & 0xffffffff]
+    nibs += [0, 0]
+    # w3: c=2, dnib=1, one 30-bit diff (the discarded first diff)
+    words.append((1 << 30) | (diffs[0] & 0x3fffffff))
+    nibs.append(2)
+    # w4: c=2, dnib=2, two 15-bit
+    words.append((2 << 30) | ((diffs[1] & 0x7fff) << 15) |
+                 (diffs[2] & 0x7fff))
+    nibs.append(2)
+    # w5: c=2, dnib=3, three 10-bit
+    words.append((3 << 30) | ((diffs[3] & 0x3ff) << 20) |
+                 ((diffs[4] & 0x3ff) << 10) | (diffs[5] & 0x3ff))
+    nibs.append(2)
+    # w6: c=3, dnib=2, seven 4-bit
+    w = 2 << 30
+    for j, d in enumerate(diffs[6:13]):
+        w |= (d & 0xf) << (4 * (6 - j))
+    words.append(w)
+    nibs.append(3)
+    # w7: c=1, four 8-bit
+    w = 0
+    for d in diffs[13:17]:
+        w = (w << 8) | (d & 0xff)
+    words.append(w)
+    nibs.append(1)
+    # frame: w0 nibbles + 15 words
+    while len(words) < 15:
+        words.append(0)
+        nibs.append(0)
+    w0 = 0
+    for j, c in enumerate(nibs):
+        w0 |= c << (2 * (14 - j))
+    frame = struct.pack(">16I", w0, *[w & 0xffffffff for w in words])
+    hdr = struct.pack(
+        ">6scc5s2s3s2sHHBBBxHHhhBBBBlHH",
+        b"000001", b"D", b" ", b"TEST ", b"  ", b"BHZ", b"XX",
+        2020, 100, 12, 30, 15, 0, len(samples), 50, 1, 0, 0, 0, 1, 0,
+        64, 48)
+    b1000 = struct.pack(">HHBBBx", 1000, 0, 11, 1, 9)  # STEIM2, 512B
+    rec = hdr + b1000 + b"\x00" * (64 - len(hdr) - len(b1000)) + frame
+    rec += b"\x00" * (512 - len(rec))
+    p = str(tmp_path / "s2.msd")
+    open(p, "wb").write(rec)
+    st = mseed.read_mseed(p)
+    assert len(st) == 1
+    assert st[0].stats.station == "TEST"
+    assert st[0].stats.sampling_rate == 50.0
+    assert np.array_equal(st[0].data, np.asarray(samples, np.float64))
+
+
+def test_waveio_integration(rng, tmp_path):
+    """stream.write(format='mseed') + waveio.read round-trip (the
+    reference's archive format, no obspy)."""
+    st = _stream(rng, kind="int")
+    p = str(tmp_path / "w.msd")
+    st.write(p, format="mseed")
+    got = waveio.read(p)
+    assert got is not None and len(got) == 1
+    assert np.array_equal(got[0].data, st[0].data)
+    assert got[0].id == st[0].id
