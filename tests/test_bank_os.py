@@ -108,3 +108,25 @@ def test_short_template_os_auto_block(rng200):
     for i, u in enumerate(U_list):
         want = dsops.ds_numpy(x, u, NC)
         assert np.abs(got[i] - want).max() < 2e-5
+
+
+def test_scan_crosses_template_block_boundary(rng200):
+    """A bank wider than TEMPLATE_BLOCK exercises the blocked-template
+    path end to end on CPU (pad slots, per-block thresholds, pyramid
+    triggers) — maxima must match per-detector run_bank."""
+    S = pscan.TEMPLATE_BLOCK + 21
+    T = rng200.standard_normal((S, N))
+    U_list = [np.ascontiguousarray((t / np.linalg.norm(t))[None, :])
+              for t in T]
+    bank = dsops.build_bank(U_list, NC, LC, block_fft=1024)
+    assert bank.get("os")
+    th = np.full(S, 0.9, np.float32)
+    X = np.stack([rng200.standard_normal(LC).astype(np.float32)])
+    hist, maxds, tidx, tval, tcnt = pscan.scan_chunks(
+        X, bank, th, NC, 50, max_trig=4)
+    assert maxds.shape == (1, S) and hist.shape[0] == S
+    ds = dsops.run_bank(X[0], bank, NC)
+    assert np.allclose(ds.max(axis=1), maxds[0], atol=2e-5)
+    # per-sample histogram totals: every valid DS sample lands in a bin
+    # or is excluded as out-of-range; totals bounded by the sample count
+    assert (hist.sum(axis=-1) <= ds.shape[1]).all()
