@@ -68,15 +68,17 @@ def read_mseed(path):
 
 
 def _btime(t):
-    """(year, doy, hour, minute, sec, fract0.1ms) of an epoch second."""
-    u = UTCDateTime(t)
-    tt = u.datetime.timetuple()
-    frac = int(round((t - np.floor(t)) * 1e4))
-    sec = tt.tm_sec
-    if frac >= 10000:   # rounding carried into the next second
-        frac -= 10000
-        sec += 1
-    return tt.tm_year, tt.tm_yday, tt.tm_hour, tt.tm_min, sec, frac
+    """(year, doy, hour, minute, sec, fract0.1ms) of an epoch second.
+
+    Split integer 0.1 ms ticks FIRST: deriving the calendar fields and
+    the fraction from ``t`` separately double-rounds near X.9999...
+    seconds (datetime rounds the second up while the fraction also
+    rounds to 10000), shifting a record header a full second."""
+    ticks = int(round(t * 1e4))
+    secs, frac = divmod(ticks, 10000)
+    tt = UTCDateTime(float(secs)).datetime.timetuple()
+    return (tt.tm_year, tt.tm_yday, tt.tm_hour, tt.tm_min, tt.tm_sec,
+            frac)
 
 
 def _pack_header(seq, net, sta, loc, chan, t0, sr, nsamp, enc, reclen_log):

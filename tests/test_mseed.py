@@ -159,3 +159,35 @@ def test_waveio_integration(rng, tmp_path):
     assert got is not None and len(got) == 1
     assert np.array_equal(got[0].data, st[0].data)
     assert got[0].id == st[0].id
+
+
+def test_mseed_directory_fetcher(rng, tmp_path):
+    """An existing Detex-style miniSEED continuous directory indexes and
+    serves through DataFetcher('dir') with no obspy — the drop-in
+    archive-compatibility claim."""
+    from detex_tpu.data import fetcher as getdata
+
+    root = tmp_path / "ContinuousWaveForms" / "TA.S01" / "2010" / "001"
+    root.mkdir(parents=True)
+    t0 = UTCDateTime("2010-01-01T00:00:00").timestamp
+    for h in range(2):          # two hour files x 3 channels
+        trs = []
+        for chan in ("BHE", "BHN", "BHZ"):
+            data = np.cumsum(rng.integers(-50, 50, size=360000)).astype(
+                np.float64)
+            trs.append(Trace(data, header=dict(
+                network="TA", station="S01", location="", channel=chan,
+                sampling_rate=100.0,
+                starttime=UTCDateTime(t0 + h * 3600.0))))
+        mseed.write_mseed(Stream(traces=trs),
+                          str(root / ("TA.S01.%03d.msd" % h)),
+                          encoding="STEIM1")
+    fet = getdata.DataFetcher(
+        "dir", directoryName=str(tmp_path / "ContinuousWaveForms"),
+        conDatDuration=3600, conBuff=120)
+    st = fet.getStream(t0 + 1800, t0 + 5400, "TA", "S01",
+                       ["BHE", "BHN", "BHZ"], "*")
+    assert st is not None and len(st) == 3
+    for tr in st:
+        assert abs(tr.stats.starttime.timestamp - (t0 + 1800)) < 0.02
+        assert len(tr.data) >= 3600 * 100 - 2
