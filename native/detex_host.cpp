@@ -316,7 +316,9 @@ int detex_mseed_record(const uint8_t* buf, int64_t buflen, char* id24,
         const uint16_t bnext = rd_u16(buf + boff + 2, swap);
         if (btype == 1000 && boff + 7 <= buflen) {
             enc = buf[boff + 4];
-            reclen = 1 << buf[boff + 6];
+            const uint8_t rl = buf[boff + 6];
+            if (rl < 6 || rl > 24) return -2;  // corrupt length exponent
+            reclen = 1 << rl;
             break;
         }
         if (bnext <= boff) break;
