@@ -31,13 +31,26 @@ def available():
 
 def read_mseed(path):
     """Read a miniSEED file into a Stream (traces split on gaps larger
-    than half a sample)."""
+    than half a sample). Records with unsupported encodings (e.g. ASCII
+    LOG channels) or corrupt payloads are skipped; an unparseable header
+    stops the scan with a warning, keeping everything read so far."""
+    import detex_tpu
+
     with open(path, "rb") as fh:
         buf = fh.read()
     recs = []
     off = 0
+    scratch = np.empty(65536, np.float64)
     while off + 64 <= len(buf):
-        reclen, ident, t0, sr, x = native.mseed_record(buf, off)
+        try:
+            reclen, ident, t0, sr, x = native.mseed_record(
+                buf, off, scratch=scratch)
+        except IOError:
+            detex_tpu.log(__name__, "unparseable miniSEED record at "
+                          "offset %d of %s; keeping %d records read so "
+                          "far" % (off, path, len(recs)), level="warning",
+                          pri=False)
+            break
         off += reclen
         if sr > 0 and len(x):
             recs.append((ident, t0, sr, x))
@@ -81,15 +94,28 @@ def _btime(t):
             frac)
 
 
+def _rate_factors(sr):
+    """Exact SEED (factor, multiplier) pair for a sampling rate, using
+    the f>0/m<0 rational form for non-integer rates (e.g. 40.5 = 81/-2).
+    Raises for rates int16 factors cannot represent."""
+    from fractions import Fraction
+    if sr <= 0:
+        raise ValueError("sampling_rate must be positive")
+    if float(sr).is_integer() and sr <= 32767:
+        return int(sr), 1
+    inv = 1.0 / sr
+    if inv.is_integer() and inv <= 32767:
+        return -int(inv), 1
+    fr = Fraction(sr).limit_denominator(32767)
+    if float(fr) == float(sr) and fr.numerator <= 32767:
+        return int(fr.numerator), -int(fr.denominator)
+    raise ValueError("sampling_rate %r is not representable in miniSEED "
+                     "int16 rate factors" % sr)
+
+
 def _pack_header(seq, net, sta, loc, chan, t0, sr, nsamp, enc, reclen_log):
     year, doy, hh, mm, ss, frac = _btime(t0)
-    # integer sample-rate factor/multiplier
-    if sr >= 1:
-        f = int(round(sr))
-        m = 1
-    else:
-        f = -int(round(1.0 / sr))
-        m = 1
+    f, m = _rate_factors(sr)
     hdr = struct.pack(
         ">6scc5s2s3s2sHHBBBxHHhhBBBBlHH",
         ("%06d" % (seq % 1000000)).encode(), b"D", b" ",
@@ -103,19 +129,33 @@ def _pack_header(seq, net, sta, loc, chan, t0, sr, nsamp, enc, reclen_log):
     return hdr + b1000 + b"\x00" * (64 - len(hdr) - len(b1000))
 
 
-def write_mseed(st, path, encoding="STEIM1", reclen=4096):
+def _auto_encoding(data):
+    """Lossless default: STEIM1 for integral int32-range data (the
+    reference's obspy archives are integer counts), else FLOAT32/FLOAT64
+    by dtype — never silently quantize float waveforms."""
+    d = np.asarray(data)
+    if np.issubdtype(d.dtype, np.integer):
+        return "STEIM1"
+    if (d.size and np.all(np.isfinite(d)) and
+            np.all(d == np.rint(d)) and
+            np.all(np.abs(d) < 2 ** 31 - 1)):
+        return "STEIM1"
+    return "FLOAT32" if d.dtype == np.float32 else "FLOAT64"
+
+
+def write_mseed(st, path, encoding=None, reclen=4096):
     """Write a Stream as miniSEED v2 (big-endian, blockette 1000).
 
-    STEIM1 for integral data (the default rounds floats — matching the
-    reference's obspy-written integer archives), FLOAT32/FLOAT64 for
-    lossless float storage, INT32 for raw counts."""
-    if encoding not in _ENCODINGS:
-        raise ValueError("encoding must be one of %s" %
+    ``encoding=None`` (default) picks losslessly per trace: STEIM1 for
+    integral data (the reference's obspy-written archives are integer
+    counts), FLOAT32/FLOAT64 for float waveforms. Forcing "STEIM1"
+    rounds floats to integers; "INT32" truncates."""
+    if encoding is not None and encoding not in _ENCODINGS:
+        raise ValueError("encoding must be None or one of %s" %
                          sorted(_ENCODINGS))
-    enc = _ENCODINGS[encoding]
     reclen_log = int(np.log2(reclen))
-    if (1 << reclen_log) != reclen or reclen < 128:
-        raise ValueError("reclen must be a power of two >= 128")
+    if (1 << reclen_log) != reclen or not 128 <= reclen <= 65536:
+        raise ValueError("reclen must be a power of two in [128, 65536]")
     payload = reclen - 64
     seq = 1
     out = []
@@ -125,23 +165,28 @@ def write_mseed(st, path, encoding="STEIM1", reclen=4096):
         loc = getattr(tr.stats, "location", "") or ""
         chan = tr.stats.channel or ""
         sr = float(tr.stats.sampling_rate)
+        _rate_factors(sr)   # validate representability up front
         t = float(tr.stats.starttime.timestamp)
-        if encoding == "STEIM1":
+        tr_enc = encoding or _auto_encoding(tr.data)
+        enc = _ENCODINGS[tr_enc]
+        if tr_enc == "STEIM1":
             data = np.asarray(np.round(tr.data), np.int32)
-        elif encoding == "INT32":
+        elif tr_enc == "INT32":
             data = np.asarray(tr.data, np.int32)
-        elif encoding == "FLOAT32":
+        elif tr_enc == "FLOAT32":
             data = np.asarray(tr.data, np.float32)
         else:
             data = np.asarray(tr.data, np.float64)
         i = 0
         while i < len(data):
-            if encoding == "STEIM1":
+            if tr_enc == "STEIM1":
+                # <= 61380 samples/record at reclen 65536: always fits
+                # the u16 header field
                 got, frames = native.steim1_encode(data[i:],
                                                    payload // 64)
                 body = frames
             else:
-                per = payload // data.itemsize
+                per = min(payload // data.itemsize, 65535)
                 got = min(per, len(data) - i)
                 body = data[i:i + got].astype(
                     data.dtype.newbyteorder(">")).tobytes()

@@ -151,12 +151,15 @@ def rolling_std(x, win):
     return out
 
 
-def mseed_record(buf, offset, max_samps=65536):
+def mseed_record(buf, offset, scratch=None):
     """Decode one miniSEED record from ``buf`` at ``offset``.
 
-    Returns (reclen, id, t0, sr, samples[np.float64]) or raises IOError
-    with the native error code. Requires the native library (there is no
-    python fallback; callers gate on available())."""
+    Returns (reclen, id, t0, sr, samples[np.float64]); ``samples`` is
+    empty for skippable records (unsupported encoding / corrupt payload
+    — e.g. ASCII LOG channels real archives multiplex in). Raises
+    IOError only when the record header is unparseable. ``scratch`` is
+    an optional reusable >= 65536-float64 buffer (a fresh 512 KB
+    allocation per record churns GBs over a day-long archive)."""
     lib = _load()
     if lib is None:
         raise IOError("native library unavailable for miniSEED decoding")
@@ -166,16 +169,17 @@ def mseed_record(buf, offset, max_samps=65536):
     t0 = ctypes.c_double()
     sr = ctypes.c_double()
     ns = ctypes.c_int32()
-    out = np.empty(max_samps, np.float64)
+    out = scratch if scratch is not None else np.empty(65536, np.float64)
     rc = lib.detex_mseed_record(
         mv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(mv),
         ident, ctypes.byref(t0), ctypes.byref(sr), ctypes.byref(ns),
-        _as_c(out), max_samps)
+        _as_c(out), len(out))
     if rc <= 0:
         raise IOError("miniSEED record decode failed (code %d) at "
                       "offset %d" % (rc, offset))
-    return rc, ident.value.decode(), t0.value, sr.value, \
-        out[:ns.value].copy()
+    n = int(ns.value)
+    samples = out[:n].copy() if n > 0 else np.empty(0, np.float64)
+    return rc, ident.value.decode(), t0.value, sr.value, samples
 
 
 def steim1_encode(samples, nframes):

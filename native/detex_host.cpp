@@ -327,6 +327,14 @@ int detex_mseed_record(const uint8_t* buf, int64_t buflen, char* id24,
     if (enc < 0 || reclen < 64 || reclen > buflen) return -2;
     if (data_off < 48 || data_off >= reclen) return -1;
     if (nsamp > cap) return -3;
+    // unsupported encodings (ASCII/LOG records, legacy codecs): the
+    // record length is known, so report it with nsamp_out = -2 and let
+    // the reader skip instead of aborting the whole file
+    if (enc != 1 && enc != 3 && enc != 4 && enc != 5 && enc != 10 &&
+        enc != 11) {
+        *nsamp_out = -2;
+        return reclen;
+    }
     const uint8_t* p = buf + data_off;
     const int64_t nbytes = reclen - data_off;
     int got = 0;
@@ -375,7 +383,10 @@ int detex_mseed_record(const uint8_t* buf, int64_t buflen, char* id24,
         default:
             return -2;
     }
-    if (got != nsamp) return -4;
+    if (got != nsamp) {           // corrupt payload: skippable
+        *nsamp_out = -4;
+        return reclen;
+    }
     *nsamp_out = nsamp;
     return reclen;
 }

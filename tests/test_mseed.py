@@ -191,3 +191,50 @@ def test_mseed_directory_fetcher(rng, tmp_path):
     for tr in st:
         assert abs(tr.stats.starttime.timestamp - (t0 + 1800)) < 0.02
         assert len(tr.data) >= 3600 * 100 - 2
+
+
+def test_float_write_is_lossless_by_default(rng, tmp_path):
+    """Auto encoding must not quantize float waveforms (gain-corrected
+    data); integral data still gets STEIM1 compression."""
+    data = np.sin(np.arange(4000) * 0.01) * 0.7
+    st = Stream(traces=[Trace(data, header=dict(
+        network="TA", station="S01", location="", channel="BHZ",
+        sampling_rate=100.0, starttime=UTCDateTime(1262304000.0)))])
+    p = str(tmp_path / "fl.msd")
+    st.write(p, format="mseed")
+    got = waveio.read(p)
+    assert np.abs(got[0].data - data).max() < 1e-12
+
+
+def test_fractional_sample_rate_roundtrip(rng, tmp_path):
+    """Non-integer rates use the SEED rational factor/multiplier form
+    (previously silently written as round(sr), corrupting timing)."""
+    st = _stream(rng, n=20000, sr=40.5)
+    p = str(tmp_path / "sr.msd")
+    mseed.write_mseed(st, p, encoding="STEIM1", reclen=512)
+    got = mseed.read_mseed(p)
+    assert len(got) == 1
+    assert got[0].stats.sampling_rate == 40.5
+    with pytest.raises(ValueError):
+        mseed._rate_factors(np.pi)
+
+
+def test_skips_unsupported_records(rng, tmp_path):
+    """An ASCII LOG record in the middle of an archive (real data does
+    this) must not abort the read."""
+    st = _stream(rng, n=2000)
+    p = str(tmp_path / "mix.msd")
+    mseed.write_mseed(st, p, encoding="STEIM1", reclen=512)
+    buf = open(p, "rb").read()
+    # craft an ASCII (encoding 0) record and splice after the first one
+    hdr = struct.pack(
+        ">6scc5s2s3s2sHHBBBxHHhhBBBBlHH",
+        b"000099", b"D", b" ", b"S01  ", b"  ", b"LOG", b"TA",
+        2010, 1, 0, 0, 0, 0, 20, 0, 0, 0, 0, 0, 1, 0, 64, 48)
+    b1000 = struct.pack(">HHBBBx", 1000, 0, 0, 1, 9)   # ASCII, 512B
+    logrec = hdr + b1000 + b"\x00" * (64 - len(hdr) - len(b1000))
+    logrec += b"detex log line".ljust(448, b"\x00")
+    spliced = buf[:512] + logrec + buf[512:]
+    open(p, "wb").write(spliced)
+    got = mseed.read_mseed(p)
+    assert len(got) == 1 and len(got[0].data) == 2000
