@@ -238,3 +238,34 @@ def test_skips_unsupported_records(rng, tmp_path):
     open(p, "wb").write(spliced)
     got = mseed.read_mseed(p)
     assert len(got) == 1 and len(got[0].data) == 2000
+
+
+def test_int16_and_little_endian_records(tmp_path):
+    """Hand-built records cover the INT16 decoder and the byte-order
+    detection (little-endian fields are legal miniSEED)."""
+    samples = [100, -200, 300, -400, 32000, -32000]
+
+    def rec(le):
+        e = "<" if le else ">"
+        hdr = struct.pack(
+            e + "6scc5s2s3s2sHHBBBxHHhhBBBBlHH",
+            b"000001", b"D", b" ", b"S02  ", b"  ", b"BHN", b"XX",
+            2015, 200, 6, 7, 8, 1234, len(samples), 25, 1,
+            0, 0, 0, 1, 0, 64, 48)
+        b1000 = struct.pack(e + "HHBBBx", 1000, 0, 1,
+                            0 if le else 1, 8)   # INT16, 256 B
+        body = struct.pack(e + "%dh" % len(samples), *samples)
+        r = hdr + b1000 + b"\x00" * (64 - len(hdr) - len(b1000)) + body
+        return r + b"\x00" * (256 - len(r))
+
+    for le in (False, True):
+        p = str(tmp_path / ("i16_%d.msd" % le))
+        open(p, "wb").write(rec(le))
+        st = mseed.read_mseed(p)
+        assert len(st) == 1, ("le", le)
+        assert np.array_equal(st[0].data,
+                              np.asarray(samples, np.float64)), ("le", le)
+        assert st[0].stats.sampling_rate == 25.0
+        # BTIME fract 1234 = 0.1234 s
+        frac = st[0].stats.starttime.timestamp % 1
+        assert abs(frac - 0.1234) < 1e-6
