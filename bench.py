@@ -1,23 +1,38 @@
 """
-Headline benchmark: station-days of continuous data scanned per second per
-chip by the fused subspace detection kernel (the production hot loop,
-reference _MPXDS detect.py:559-578).
+Headline benchmarks: the three BASELINE workloads, printed as ONE final
+JSON line (the driver records stdout's last JSON line).
 
-Workload (BASELINE.json north star): a 10-event subspace (4 basis vectors
-after dimension selection), 30 s templates, against 100 Hz 3-channel
-continuous data in hour chunks — the full statistic: rolling power
-normalization, FFT correlation against every basis vector, sum of squares,
-channel-decimated striding, plus on-device 401-bin histogramming and trigger
-extraction (i.e. everything the scan does in production, not just the FFTs).
+Default invocation (``python bench.py``) runs ALL three:
 
-Baseline: the reference implementation's compute core (float64
-numpy/scipy/pandas single-thread, mirroring detect.py:559-578) timed on this
-host. Prints one JSON line.
+  - ``subspace`` (headline): station-days of continuous data scanned per
+    second per chip by the fused subspace detection kernel (the production
+    hot loop, reference _MPXDS detect.py:559-578) — a 10-event subspace
+    (4 basis vectors), 30 s templates, 100 Hz 3-channel data, including
+    on-device 401-bin histogramming and trigger extraction.
+  - ``network``: BASELINE config-5 analog, a 1000-template matched-filter
+    bank via the overlap-save + matmul-DFT path.
+  - ``cluster``: createCluster compute (220 events x 2 stations all-pairs
+    CC) vs the reference's one published wall time (156 s).
+
+The final JSON line is the headline subspace metric with the other two
+results embedded under ``"extras"`` so every mode is externally witnessed
+in BENCH_r{N}.json (VERDICT round-2 missing #3).
+
+vs_baseline definition (standardized; CLAUDE.md/PERF.md/README quote this
+number): measured device rate divided by the rate of the reference-
+equivalent float64 single-thread numpy core (ds_numpy, mirroring
+detect.py:559-578) measured on THIS host over the same workload. For
+``cluster`` it is the reference's published 156 s over our wall time.
+
+Sync note: on this tunneled backend ``jax.block_until_ready`` returns
+BEFORE remote execution completes, so all timings sync by transferring a
+scalar that data-depends on every output (see PERF.md).
 """
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -26,6 +41,15 @@ import numpy as np
 # this host; cache it across runs
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+# headline subspace-scan chunk length (hours). conDatDuration is a free
+# parameter of the production engine; longer chunks amortize this
+# backend's per-op fixed overhead (PERF.md).
+SUBSPACE_CHUNK_HOURS = float(os.environ.get("BENCH_CHUNK_HOURS", "1"))
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def bench_cluster():
@@ -36,8 +60,6 @@ def bench_cluster():
     two stations' all-pairs CC/lag/subsample matrices (2 x 24,090 pairs of
     39,000-sample multiplexed traces) — on one chip.
     """
-    import time
-    import jax
     from detex_tpu.ops import xcorr
 
     N, L = 220, 39000  # 220 events, 130 s at 100 Hz x 3 channels
@@ -51,32 +73,29 @@ def bench_cluster():
         cc, lag, sub = xcorr.xcorr_all_pairs(Xs, 3)
     dt = time.perf_counter() - t0
     ref = 156.0  # seconds (clustering.md:771-777, 1413-1417)
-    print(json.dumps({
+    return {
         "metric": "createCluster compute (220 events x 2 stations, "
                   "all-pairs CC) wall seconds",
         "value": round(dt, 2),
         "unit": "s",
         "vs_baseline": round(ref / dt, 1),
-    }))
+    }
 
 
-def main(mode="subspace"):
+def bench_scan(mode="subspace"):
     import jax
     import jax.numpy as jnp
     from detex_tpu.ops import ds as dsops
     from detex_tpu.parallel import scan as pscan
 
-    if mode == "cluster":
-        return bench_cluster()
-
     nc = 3
     sr = 100.0
     tmpl_sec = 30.0
     n = int(tmpl_sec * sr * nc)          # 9000
-    chunk_sec = 3600.0
-    Lc = int(chunk_sec * sr * nc)        # 1,080,000
     rng = np.random.default_rng(0)
     if mode == "network":
+        chunk_sec = 3600.0
+        Lc = int(chunk_sec * sr * nc)    # 1,080,000
         # BASELINE config 5 analog: a 1000-template matched-filter bank
         # (one normalized template per detector) scanned per chunk via the
         # overlap-save spectra + template-blocked path
@@ -87,20 +106,27 @@ def main(mode="subspace"):
         bank = dsops.build_bank(U_list, nc, Lc)
         assert bank.get("os"), "1000-template bank should be overlap-save"
         thresholds = np.full(S, 0.99, np.float32)
-        B = 4  # chunks per launch: amortizes the tunnel launch latency
+        B = 4   # chunks per launch: amortizes the tunnel launch latency
+        iters = 8
+        n_data = 8
     else:
+        chunk_sec = 3600.0 * SUBSPACE_CHUNK_HOURS
+        Lc = int(chunk_sec * sr * nc)
         D = 4                             # basis dims after energy capture
         A = rng.standard_normal((D, n))
         q, _ = np.linalg.qr(A.T)
         U = np.ascontiguousarray(q[:, :D].T)
         bank = dsops.build_bank([U], nc, Lc)  # demuxed fast path
         thresholds = np.full(1, 0.99, np.float32)
-        B = 16  # chunks per device call
+        # chunks per device call; keep the per-launch sample count ~constant
+        B = max(1, int(round(16 / SUBSPACE_CHUNK_HOURS)))
+        iters = 8
+        n_data = min(8, 4 if SUBSPACE_CHUNK_HOURS > 4 else 8)
     # distinct inputs per iteration + a dependency chain between steps:
     # this backend can elide duplicate launches, so timing must force real,
     # ordered execution of every step.
     Xs = [jax.random.normal(jax.random.PRNGKey(i), (B, Lc), jnp.float32)
-          for i in range(8)]
+          for i in range(n_data)]
     buff = int(20 * sr)
 
     def step(X):
@@ -119,7 +145,6 @@ def main(mode="subspace"):
     # globally unique AND data-dependent on the previous step's output —
     # the service memoizes byte-identical (program, input) launches, so
     # both properties are required for honest timing.
-    iters = 8
     dt = np.inf
     for rep in range(3):
         t0 = time.perf_counter()
@@ -139,9 +164,10 @@ def main(mode="subspace"):
     station_days = iters * B * chunk_hours / 24.0
     ours = station_days / dt  # station-days per second per chip
 
-    # reference-equivalent numpy core, one chunk (float64, single thread);
-    # best of two runs to damp host noise
-    x64 = np.asarray(Xs[0][0], np.float64)
+    # reference-equivalent numpy core, one hour-chunk (float64, single
+    # thread); best of two runs to damp host noise
+    ref_Lc = int(3600.0 * sr * nc)
+    x64 = np.asarray(np.asarray(Xs[0][0])[:ref_Lc], np.float64)
     U_ref = U if mode != "network" else np.vstack(
         [u[0] for u in U_list[:4]])
     ref_dt = np.inf
@@ -152,19 +178,45 @@ def main(mode="subspace"):
     if mode == "network":
         # scale numpy cost from 4 to S templates (linear in detectors)
         ref_dt = ref_dt * (len(U_list) / U_ref.shape[0])
-    ref_rate = (chunk_hours / 24.0) / ref_dt
+    ref_rate = (1.0 / 24.0) / ref_dt  # station-days/s of the numpy core
 
     desc = ("10-event subspace" if mode != "network"
             else "%d-template matched-filter bank" % len(thresholds))
-    print(json.dumps({
+    return {
         "metric": "station-days scanned/sec/chip (%s, 100Hz 3ch, incl. "
                   "hist+triggers)" % desc,
         "value": round(ours, 3),
         "unit": "station-days/s",
         "vs_baseline": round(ours / ref_rate, 2),
-    }))
+    }
+
+
+def main(mode=None):
+    if mode in ("subspace", "network"):
+        print(json.dumps(bench_scan(mode)))
+        return
+    if mode == "cluster":
+        print(json.dumps(bench_cluster()))
+        return
+    # default: all three modes, ONE final JSON line (headline + extras)
+    _log("bench: subspace scan (headline, %gh chunks)..."
+         % SUBSPACE_CHUNK_HOURS)
+    head = bench_scan("subspace")
+    _log("bench: subspace = %s" % head["value"])
+    extras = []
+    for m, fn in (("network", lambda: bench_scan("network")),
+                  ("cluster", bench_cluster)):
+        _log("bench: %s..." % m)
+        try:
+            r = fn()
+            _log("bench: %s = %s" % (m, r["value"]))
+            extras.append(r)
+        except Exception as e:  # never lose the headline to an extra
+            _log("bench: %s FAILED: %r" % (m, e))
+            extras.append({"metric": m, "error": repr(e)})
+    head["extras"] = extras
+    print(json.dumps(head))
 
 
 if __name__ == "__main__":
-    import sys
-    main(sys.argv[1] if len(sys.argv) > 1 else "subspace")
+    main(sys.argv[1] if len(sys.argv) > 1 else None)

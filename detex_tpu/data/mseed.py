@@ -138,7 +138,7 @@ def _auto_encoding(data):
         return "STEIM1"
     if (d.size and np.all(np.isfinite(d)) and
             np.all(d == np.rint(d)) and
-            np.all(np.abs(d) < 2 ** 31 - 1)):
+            np.all(d <= 2 ** 31 - 1) and np.all(d >= -2 ** 31)):
         return "STEIM1"
     return "FLOAT32" if d.dtype == np.float32 else "FLOAT64"
 
@@ -177,6 +177,7 @@ def write_mseed(st, path, encoding=None, reclen=4096):
             data = np.asarray(tr.data, np.float32)
         else:
             data = np.asarray(tr.data, np.float64)
+        t0_tr = t
         i = 0
         while i < len(data):
             if tr_enc == "STEIM1":
@@ -196,8 +197,10 @@ def write_mseed(st, path, encoding=None, reclen=4096):
             out.append(_pack_header(seq, net, sta, loc, chan, t, sr,
                                     got, enc, reclen_log) + body)
             seq += 1
-            t += got / sr
             i += got
+            # header time from the running sample index, not repeated
+            # float accumulation (t += got/sr drifts over many records)
+            t = t0_tr + i / sr
     with open(path, "wb") as fh:
         fh.write(b"".join(out))
     return path

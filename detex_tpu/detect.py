@@ -376,6 +376,14 @@ class _SSDetex(object):
                 gate_eps = self.devicePrepEps if self.devicePrep else 0.0
                 if self.dtype == "double":
                     gate_eps = max(gate_eps, 1e-4)
+                else:
+                    # f32 drift envelope between the batched device scan
+                    # and the per-chunk recompute (measured ~2e-5 over
+                    # million-sample chunks; tests/test_parity_oracle.py):
+                    # without this margin an f32 maxds a hair below
+                    # threshold silently drops a detection the exact path
+                    # would emit
+                    gate_eps = max(gate_eps, 2e-5)
                 for bi, (payload, sr, tstamp) in enumerate(batch):
                     MPcon = None
                     for si, name in enumerate(bank["names"]):

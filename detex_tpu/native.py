@@ -25,8 +25,10 @@ def _load():
     if _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_SO):
-        src = os.path.join(_DIR, "detex_host.cpp")
+    src = os.path.join(_DIR, "detex_host.cpp")
+    stale = (os.path.exists(src) and os.path.exists(_SO) and
+             os.path.getmtime(src) > os.path.getmtime(_SO))
+    if not os.path.exists(_SO) or stale:
         if not os.path.exists(src):
             return None
         try:
@@ -34,7 +36,8 @@ def _load():
                             "-o", _SO], check=True, capture_output=True,
                            timeout=120)
         except Exception:
-            return None
+            if not os.path.exists(_SO):
+                return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:

@@ -59,6 +59,20 @@ def _pad_batch(n_dev, X, nv):
     return Xp, nvp, B
 
 
+def _require_host_array(X, fn_name):
+    """Refuse device-resident chunk batches on the sharded entry points:
+    they are padded/resharded on host here, and a device array would be
+    silently pulled back through the (slow) device->host tunnel — the same
+    contract scan_chunks documents for the single-device path."""
+    if isinstance(X, jax.Array) and not isinstance(X, np.ndarray):
+        if any(d.platform != "cpu" for d in X.devices()):
+            raise TypeError(
+                "%s requires host (numpy) chunk arrays: a device-resident "
+                "batch would be transferred device->host here (25 MB/s "
+                "through the TPU tunnel). Pass the numpy source array "
+                "instead." % fn_name)
+
+
 def _hist_counts(ds, bins):
     """np.histogram-compatible device binning via sort + edge search
     (compiles and runs far better on TPU than scatter-add)."""
@@ -276,7 +290,13 @@ def scan_chunks(X, bank, thresholds, nc, buff_samps, bins=None, max_trig=64,
     sample count when rows are zero-padded. With ``mesh`` the batch is
     chunk-sharded across the mesh (padded to a multiple of its size).
     ``calc_hist=False`` skips the per-detector DS histogram (its row sort
-    is a large share of scan cost at big banks); hist returns zeros."""
+    is a large share of scan cost at big banks); hist returns zeros.
+
+    Histogram edge note: with uniform [0, 1] bins on TPU the counts come
+    from the floor(v*nbin) Pallas counting kernel; on CPU (or non-uniform
+    bins) from an np.histogram-compatible sort+searchsorted. The two can
+    differ by +/-1 for values within a float32 ULP of a bin edge, so hist
+    outputs are not guaranteed bit-identical across backends."""
     if mesh is not None and mesh.size > 1:
         return scan_chunks_sharded(mesh, X, bank, thresholds, nc, buff_samps,
                                    bins=bins, max_trig=max_trig,
@@ -418,6 +438,7 @@ def scan_chunks_sharded(mesh, X, bank, thresholds, nc, buff_samps,
     if bins is None:
         bins = DEFAULT_BINS
     st = _bank_statics(bank, nc)
+    _require_host_array(X, "scan_chunks_sharded")
     X = np.asarray(X, np.float32)
     nv = _valid_lens(bank, nc, X, valid_lens)
     X, nv, B = _pad_batch(mesh.size, X, nv)
@@ -441,6 +462,7 @@ def scan_chunks_raw_sharded(mesh, Xc, lens, H, bank, thresholds, nc,
     if not bank.get("demux") or bank.get("os"):
         raise ValueError("scan_chunks_raw_sharded requires a "
                          "(non-overlap-save) demuxed bank")
+    _require_host_array(Xc, "scan_chunks_raw_sharded")
     Xc = np.asarray(Xc, np.float32)
     lens = np.asarray(lens, np.int32)
     Xc, lens, B = _pad_batch(mesh.size, Xc, lens)

@@ -241,7 +241,10 @@ static int steim_decode(const uint8_t* p, int64_t nbytes, int nsamp,
                     if (!have_x0) return -1;
                     cur = x0;               // first diff discarded
                 } else {
-                    cur += d[j];
+                    // mod-2^32 wrap via unsigned add (signed overflow is
+                    // UB; encoders rely on the wrap for extreme diffs)
+                    cur = static_cast<int32_t>(static_cast<uint32_t>(cur) +
+                                               static_cast<uint32_t>(d[j]));
                 }
                 if (k >= cap) return -1;
                 out[k++] = static_cast<double>(cur);

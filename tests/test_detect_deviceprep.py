@@ -53,6 +53,49 @@ def test_deviceprep_with_decimation(synth_case, tmp_path):
     assert (abs(host.DS - dev.DS) < 1e-3).all()
 
 
+def test_deviceprep_gate_at_threshold_margin(ss):
+    """Adversarial gate probe (VERDICT round-2 weak #3): detections sitting
+    within ~the devicePrep gate margin of threshold must survive the
+    spectral-vs-SOS filter discrepancy. Thresholds are re-set to 1e-3
+    BELOW each detector's observed peak DS — far inside the 0.005 gate
+    margin — so a device maxds depressed by the filter discrepancy would
+    silently drop the detection if the margin were wrong."""
+    s, wd = ss
+    db_host = str(wd / "host_margin.db")
+    db_dev = str(wd / "dev_margin.db")
+    # observed host-path peaks per detector (from a plain run)
+    db_probe = str(wd / "probe.db")
+    s.detex(subspaceDB=db_probe, estimateMags=False)
+    probe = util.loadSQLite(db_probe, "ss_df")
+    assert probe is not None and len(probe) > 0
+    peak = probe.groupby("Name").DS.max()
+    orig = {}
+    for sta in s.ssStations:
+        df = s.subspaces[sta]
+        orig[sta] = df.Threshold.copy()
+        df.Threshold = [max(float(peak.get(nm, t)) - 1e-3, 0.05)
+                        for nm, t in zip(df.Name, df.Threshold)]
+    try:
+        s.detex(subspaceDB=db_host, estimateMags=False)
+        s.detex(subspaceDB=db_dev, estimateMags=False, devicePrep=True)
+    finally:
+        for sta, th in orig.items():
+            s.subspaces[sta].Threshold = th
+    host = util.loadSQLite(db_host, "ss_df")
+    dev = util.loadSQLite(db_dev, "ss_df")
+    assert host is not None and len(host) > 0
+    assert dev is not None
+    # every near-threshold detection the host path emits must also be
+    # emitted through the devicePrep gate (same rows: host recompute
+    # produces identical values once the gate passes the chunk)
+    assert len(dev) == len(host)
+    host = host.sort_values(["Name", "STMP"]).reset_index(drop=True)
+    dev = dev.sort_values(["Name", "STMP"]).reset_index(drop=True)
+    assert list(host.Name) == list(dev.Name)
+    assert (abs(host.STMP - dev.STMP) < 1e-6).all()
+    assert (abs(host.DS - dev.DS) < 1e-9).all()
+
+
 def test_deviceprep_matches_host_detections(ss):
     s, wd = ss
     db_host = str(wd / "host.db")
