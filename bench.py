@@ -116,12 +116,15 @@ def bench_scan(mode="subspace"):
         A = rng.standard_normal((D, n))
         q, _ = np.linalg.qr(A.T)
         U = np.ascontiguousarray(q[:, :D].T)
-        bank = dsops.build_bank([U], nc, Lc)  # demuxed fast path
+        # overlap-save bank -> the fold-batch scan path (the production
+        # engine builds the same bank shape on TPU; ops/ds.py)
+        bank = dsops.build_bank([U], nc, Lc, prefer_os=True)
         thresholds = np.full(1, 0.99, np.float32)
-        # chunks per device call; keep the per-launch sample count ~constant
-        B = max(1, int(round(16 / SUBSPACE_CHUNK_HOURS)))
-        iters = 8
-        n_data = min(8, 4 if SUBSPACE_CHUNK_HOURS > 4 else 8)
+        # chunks per device call; the fold path amortizes per-op fixed
+        # cost over the whole batch, so bigger is better until HBM caps it
+        B = max(1, int(round(64 / SUBSPACE_CHUNK_HOURS)))
+        iters = 4
+        n_data = 4
     # distinct inputs per iteration + a dependency chain between steps:
     # this backend can elide duplicate launches, so timing must force real,
     # ordered execution of every step.

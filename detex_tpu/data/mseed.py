@@ -21,7 +21,8 @@ from detex_tpu import native
 from detex_tpu.core.stream import Stream, Trace
 from detex_tpu.core.utc import UTCDateTime
 
-_ENCODINGS = {"STEIM1": 10, "INT32": 3, "FLOAT32": 4, "FLOAT64": 5}
+_ENCODINGS = {"STEIM1": 10, "STEIM2": 11, "INT32": 3, "FLOAT32": 4,
+              "FLOAT64": 5}
 
 
 def available():
@@ -148,8 +149,10 @@ def write_mseed(st, path, encoding=None, reclen=4096):
 
     ``encoding=None`` (default) picks losslessly per trace: STEIM1 for
     integral data (the reference's obspy-written archives are integer
-    counts), FLOAT32/FLOAT64 for float waveforms. Forcing "STEIM1"
-    rounds floats to integers; "INT32" truncates."""
+    counts), FLOAT32/FLOAT64 for float waveforms. "STEIM2" (better
+    compression; diffs limited to 30 bits — raises beyond) round-trips
+    reference archives in their original encoding. Forcing "STEIM1"/
+    "STEIM2" rounds floats to integers; "INT32" truncates."""
     if encoding is not None and encoding not in _ENCODINGS:
         raise ValueError("encoding must be None or one of %s" %
                          sorted(_ENCODINGS))
@@ -169,7 +172,7 @@ def write_mseed(st, path, encoding=None, reclen=4096):
         t = float(tr.stats.starttime.timestamp)
         tr_enc = encoding or _auto_encoding(tr.data)
         enc = _ENCODINGS[tr_enc]
-        if tr_enc == "STEIM1":
+        if tr_enc in ("STEIM1", "STEIM2"):
             data = np.asarray(np.round(tr.data), np.int32)
         elif tr_enc == "INT32":
             data = np.asarray(tr.data, np.int32)
@@ -180,11 +183,12 @@ def write_mseed(st, path, encoding=None, reclen=4096):
         t0_tr = t
         i = 0
         while i < len(data):
-            if tr_enc == "STEIM1":
+            if tr_enc in ("STEIM1", "STEIM2"):
                 # <= 61380 samples/record at reclen 65536: always fits
                 # the u16 header field
-                got, frames = native.steim1_encode(data[i:],
-                                                   payload // 64)
+                enc_fn = (native.steim1_encode if tr_enc == "STEIM1"
+                          else native.steim2_encode)
+                got, frames = enc_fn(data[i:], payload // 64)
                 body = frames
             else:
                 per = min(payload // data.itemsize, 65535)

@@ -100,6 +100,15 @@ class _SSDetex(object):
         if calcHist:
             self.hist["Bins"] = np.linspace(0, 1, num=401)
 
+        # in-flight device-batch queue: batches are DISPATCHED (async) and
+        # only materialized one dispatch later, so the host preps the next
+        # batch — or the next STATION's banks — while the device computes.
+        # The queue spans station boundaries (SURVEY §2: don't let the
+        # device idle during per-station host prep).
+        from collections import deque
+        self._inflight = deque()
+        self._inflight_depth = 1
+
         for sta in TRDF.keys():
             DFsta = TRDF[sta].reset_index(drop=True)
             TRDF[sta] = DFsta
@@ -109,6 +118,7 @@ class _SSDetex(object):
                 DFeve = pd.concat(self.eventCorList, ignore_index=True)
                 DFeve.to_pickle("%s_%s.pkl" % (self.eventCorFile, sta))
                 self.eventCorList = []
+        self._drainInflight()
         if utcSaves is not None and len(getattr(self, "UTCSaveList", [])) > 0:
             DFutc = pd.concat(self.UTCSaveList, ignore_index=True)
             DFutc.to_pickle("UTCsaves.pkl")
@@ -172,9 +182,14 @@ class _SSDetex(object):
         for name in sorted(det):
             by_n.setdefault(det[name]["n"], []).append(name)
         pad_len = int(dataLength * samplingRate * Nc)
+        # on TPU (without devicePrep, which needs full-length spectra for
+        # its fused spectral filter) prefer overlap-save banks: the
+        # fold-batch scan (parallel/scan.py) folds the whole chunk batch
+        # into each op and runs the block DFTs as flat MXU matmuls
+        prefer_os = (not self.devicePrep) and _ds._use_pallas()
         for n, names in sorted(by_n.items()):
             bank = _ds.build_bank([det[nm]["U"] for nm in names], Nc,
-                                  pad_len)
+                                  pad_len, prefer_os=prefer_os)
             bank["names"] = names
             if self.devicePrep:
                 if not bank.get("demux") or bank.get("os"):
@@ -311,10 +326,16 @@ class _SSDetex(object):
         ``batchSize`` at a time, and processed with the fused device scan
         (DS + histogram + maxima on device); only triggered chunks pull a
         full DS vector back for the exact-parity trigger/magnitude logic.
+
+        Batches are DISPATCHED asynchronously and materialized one
+        dispatch later (self._inflight): device dispatch returns
+        immediately, so while the device computes batch k the host preps
+        batch k+1 — or the next station's banks/data (the queue is drained
+        by later stations and finally by __init__). Results are
+        materialized strictly FIFO, so DB row order matches the serial
+        formulation.
         """
         from detex_tpu.parallel import scan as _pscan
-        numdets = 0
-        DF = pd.DataFrame()
         pending = []  # (MPcon, sr, tstamp)
         # multi-device: shard the chunk batch across all local devices
         # (the station x detector x chunk grid's chunk axis; SURVEY.md
@@ -324,15 +345,18 @@ class _SSDetex(object):
         thresholds_by_bank = [
             np.asarray([threshold[nm] for nm in bank["names"]], np.float32)
             for bank in banks]
+        ctx = dict(sta=sta, DF=pd.DataFrame(), numdets=0, histdic=histdic,
+                   tableName=tableName, det=det, threshold=threshold,
+                   nc=nc, open_batches=0, station_done=False)
 
-        def flush(batch):
-            nonlocal DF, numdets
+        def dispatch(batch):
             if not batch:
                 return
             # keep the device batch shape constant (one compile): the
             # trailing partial batch is padded with empty chunks whose
             # valid length masks everything out
             B = self.batchSize
+            outs = []
             for bank, th in zip(banks, thresholds_by_bank):
                 pad = bank["pad_len"]
                 bins = self.hist["Bins"] if self.calcHist else None
@@ -367,74 +391,11 @@ class _SSDetex(object):
                             buff_samps=1,  # device trigger list unused
                             bins=bins, max_trig=1, valid_lens=lens,
                             mesh=mesh, calc_hist=self.calcHist)
-                hist = np.asarray(hist)
-                maxds = np.asarray(maxds)
-                # gate margins: triggered chunks are re-verified host-side,
-                # so gating a touch below threshold only costs a recompute.
-                # devicePrep -> spectral-vs-SOS filter discrepancy;
-                # dtype='double' -> f32 device scan vs f64 exact recompute.
-                gate_eps = self.devicePrepEps if self.devicePrep else 0.0
-                if self.dtype == "double":
-                    gate_eps = max(gate_eps, 1e-4)
-                else:
-                    # f32 drift envelope between the batched device scan
-                    # and the per-chunk recompute (measured ~2e-5 over
-                    # million-sample chunks; tests/test_parity_oracle.py):
-                    # without this margin an f32 maxds a hair below
-                    # threshold silently drops a detection the exact path
-                    # would emit
-                    gate_eps = max(gate_eps, 2e-5)
-                for bi, (payload, sr, tstamp) in enumerate(batch):
-                    MPcon = None
-                    for si, name in enumerate(bank["names"]):
-                        if not maxds[bi, si] > threshold[name] - gate_eps:
-                            continue
-                        if MPcon is None:
-                            if self.devicePrep:
-                                # exact-parity host filter, triggered only
-                                stf = _applyFilter(
-                                    payload["st"].copy(), self.filt,
-                                    self.decimate, self.dtype,
-                                    fillZeros=self.fillZeros)
-                                MPcon = multiplex(stf, nc)
-                            else:
-                                MPcon = payload
-                        # exact-parity slow path for the triggered chunk
-                        if self.dtype == "double":
-                            dsvec = _ds.ds_numpy(
-                                np.asarray(MPcon, np.float64),
-                                det[name]["U"], nc)
-                        else:
-                            dsvec = _ds.run_bank(MPcon, bank, nc)[si]
-                        if dsvec.max() > 1.1:
-                            dsvec = np.where(np.isfinite(dsvec), dsvec, 0.0)
-                        stalta_vec = None
-                        if not self.fillZeros and self.triggerLTATime:
-                            stalta_vec = np.asarray(self._dsStalta(
-                                dsvec, self.triggerLTATime * sr,
-                                self.triggerSTATime * sr))
-                        Sar = self._createCoeffArray(
-                            dsvec, stalta_vec, name, threshold, sta, det,
-                            MPcon, nc, sr, tstamp)
-                        if len(Sar) > 300:
-                            detex_tpu.log(__name__, "over 300 events found "
-                                          "in single data block on %s; "
-                                          "perhaps minCoef is too low?"
-                                          % sta, level="warning", pri=True)
-                        if any(Sar.DS > 1.05):
-                            detex_tpu.log(__name__, "DS values above 1.05 "
-                                          "found on %s, removing" % sta,
-                                          level="warning", pri=True)
-                            Sar = Sar[Sar.DS <= 1.05]
-                        if len(Sar) > 0:
-                            DF = pd.concat([DF, Sar], ignore_index=True)
-                if self.calcHist:
-                    for si, name in enumerate(bank["names"]):
-                        histdic[name] = histdic[name] + hist[si]
-            if len(DF) > 500:
-                _util.saveSQLite(DF, self.subspaceDB, tableName)
-                numdets += len(DF)
-                DF = pd.DataFrame()
+                outs.append((bank, hist, maxds))
+            ctx["open_batches"] += 1
+            self._inflight.append((ctx, outs, list(batch)))
+            while len(self._inflight) > self._inflight_depth:
+                self._materializeOne()
 
         nmax = max(d["n"] for d in det.values())
         for st, utc1, utc2 in datGen:
@@ -476,16 +437,115 @@ class _SSDetex(object):
                     continue
                 pending.append((MPcon, sr, tstamp))
             if len(pending) >= self.batchSize:
-                flush(pending)
+                dispatch(pending)
                 pending = []
-        flush(pending)
-        if len(DF) > 0:
-            _util.saveSQLite(DF, self.subspaceDB, tableName)
+        dispatch(pending)
+        ctx["station_done"] = True
+        if ctx["open_batches"] == 0:
+            self._finalizeStation(ctx)
+        # remaining in-flight batches drain during the next station's prep
+        # (or in __init__'s final drain); histdic is filled in place there
+        return histdic if self.calcHist else None
+
+    def _materializeOne(self):
+        """Materialize the oldest in-flight device batch: gate on maxima,
+        re-verify triggered chunks through the exact host path, accumulate
+        histograms, and flush detections (FIFO — DB row order matches the
+        serial formulation)."""
+        ctx, outs, batch = self._inflight.popleft()
+        sta = ctx["sta"]
+        det = ctx["det"]
+        threshold = ctx["threshold"]
+        nc = ctx["nc"]
+        histdic = ctx["histdic"]
+        # gate margins: triggered chunks are re-verified host-side, so
+        # gating a touch below threshold only costs a recompute.
+        # devicePrep -> spectral-vs-SOS filter discrepancy;
+        # dtype='double' -> f32 device scan vs f64 exact recompute.
+        gate_eps = self.devicePrepEps if self.devicePrep else 0.0
+        if self.dtype == "double":
+            gate_eps = max(gate_eps, 1e-4)
+        else:
+            # f32 drift envelope between the batched device scan and the
+            # per-chunk recompute (measured ~2e-5 over million-sample
+            # chunks; tests/test_parity_oracle.py): without this margin an
+            # f32 maxds a hair below threshold silently drops a detection
+            # the exact path would emit
+            gate_eps = max(gate_eps, 2e-5)
+        for bank, hist_dev, maxds_dev in outs:
+            hist = np.asarray(hist_dev)      # blocks until device done
+            maxds = np.asarray(maxds_dev)
+            for bi, (payload, sr, tstamp) in enumerate(batch):
+                MPcon = None
+                for si, name in enumerate(bank["names"]):
+                    if not maxds[bi, si] > threshold[name] - gate_eps:
+                        continue
+                    if MPcon is None:
+                        if self.devicePrep:
+                            # exact-parity host filter, triggered only
+                            stf = _applyFilter(
+                                payload["st"].copy(), self.filt,
+                                self.decimate, self.dtype,
+                                fillZeros=self.fillZeros)
+                            MPcon = multiplex(stf, nc)
+                        else:
+                            MPcon = payload
+                    # exact-parity slow path for the triggered chunk
+                    if self.dtype == "double":
+                        dsvec = _ds.ds_numpy(
+                            np.asarray(MPcon, np.float64),
+                            det[name]["U"], nc)
+                    else:
+                        dsvec = _ds.run_bank(MPcon, bank, nc)[si]
+                    if dsvec.max() > 1.1:
+                        dsvec = np.where(np.isfinite(dsvec), dsvec, 0.0)
+                    stalta_vec = None
+                    if not self.fillZeros and self.triggerLTATime:
+                        stalta_vec = np.asarray(self._dsStalta(
+                            dsvec, self.triggerLTATime * sr,
+                            self.triggerSTATime * sr))
+                    Sar = self._createCoeffArray(
+                        dsvec, stalta_vec, name, threshold, sta, det,
+                        MPcon, nc, sr, tstamp)
+                    if len(Sar) > 300:
+                        detex_tpu.log(__name__, "over 300 events found "
+                                      "in single data block on %s; "
+                                      "perhaps minCoef is too low?"
+                                      % sta, level="warning", pri=True)
+                    if any(Sar.DS > 1.05):
+                        detex_tpu.log(__name__, "DS values above 1.05 "
+                                      "found on %s, removing" % sta,
+                                      level="warning", pri=True)
+                        Sar = Sar[Sar.DS <= 1.05]
+                    if len(Sar) > 0:
+                        ctx["DF"] = pd.concat([ctx["DF"], Sar],
+                                              ignore_index=True)
+            if self.calcHist:
+                for si, name in enumerate(bank["names"]):
+                    histdic[name] = histdic[name] + hist[si]
+        if len(ctx["DF"]) > 500:
+            _util.saveSQLite(ctx["DF"], self.subspaceDB, ctx["tableName"])
+            ctx["numdets"] += len(ctx["DF"])
+            ctx["DF"] = pd.DataFrame()
+        ctx["open_batches"] -= 1
+        if ctx["station_done"] and ctx["open_batches"] == 0:
+            self._finalizeStation(ctx)
+
+    def _finalizeStation(self, ctx):
+        """Final DB flush + completion log for one station (runs once all
+        of its in-flight batches have materialized)."""
+        if len(ctx["DF"]) > 0:
+            _util.saveSQLite(ctx["DF"], self.subspaceDB, ctx["tableName"])
         detType = "Subspaces" if self.issubspace else "Singletons"
         detex_tpu.log(__name__, "%s on %s completed, %d potential "
                       "detection(s) recorded"
-                      % (detType, sta, len(DF) + numdets), pri=True)
-        return histdic if self.calcHist else None
+                      % (detType, ctx["sta"],
+                         len(ctx["DF"]) + ctx["numdets"]), pri=True)
+        ctx["DF"] = pd.DataFrame()
+
+    def _drainInflight(self):
+        while getattr(self, "_inflight", None):
+            self._materializeOne()
 
     def _conTrimSamps(self, DFsta, nc, sr):
         """

@@ -62,8 +62,12 @@ def _load():
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, u8ptr,
         ctypes.c_int]
     lib.detex_steim1_encode.restype = ctypes.c_int
+    lib.detex_steim2_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, u8ptr,
+        ctypes.c_int]
+    lib.detex_steim2_encode.restype = ctypes.c_int
     lib.detex_abi_version.restype = ctypes.c_int
-    if lib.detex_abi_version() != 2:
+    if lib.detex_abi_version() != 3:
         return None
     _LIB = lib
     return _LIB
@@ -196,4 +200,22 @@ def steim1_encode(samples, nframes):
     got = lib.detex_steim1_encode(
         x.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(x),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nframes)
+    return int(got), out.tobytes()
+
+
+def steim2_encode(samples, nframes):
+    """STEIM2-encode int32 ``samples`` into ``nframes`` 64-byte frames.
+    Returns (n_encoded, frame_bytes). Raises ValueError when a
+    sample-to-sample difference exceeds STEIM2's 30-bit range."""
+    lib = _load()
+    if lib is None:
+        raise IOError("native library unavailable for miniSEED encoding")
+    x = np.ascontiguousarray(samples, dtype=np.int32)
+    out = np.zeros(nframes * 64, np.uint8)
+    got = lib.detex_steim2_encode(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(x),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), nframes)
+    if got < 0:
+        raise ValueError("STEIM2 cannot encode a sample-to-sample "
+                         "difference beyond 30 bits; use STEIM1")
     return int(got), out.tobytes()

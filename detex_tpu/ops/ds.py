@@ -357,11 +357,13 @@ def os_prep(x, n_c, nc, blk_fft):
 
 
 def _os_block(F, a, power, Ufd2, sum_u, d_mask, n_c, nc, blk_fft, L_c,
-              nv=None):
+              nv=None, nbin=0):
     """One template block of the overlap-save pipeline from the shared
     prep. With ``nv`` (scan path) returns either a (masked ds_full,
-    pyr_max) tuple (pallas) or the UNMASKED full-width ds [S, m*W] (XLA
-    fallback — caller masks); without ``nv`` returns ds[:, :out_len]."""
+    pyr_max, hist-or-None) tuple (pallas; ``nbin`` fuses the uniform
+    histogram into the finalize) or the UNMASKED full-width ds [S, m*W]
+    (XLA fallback — caller masks); without ``nv`` returns
+    ds[:, :out_len]."""
     out_len, pad0, D0, W, m = _os_geometry(L_c, n_c, blk_fft)
     from detex_tpu.ops import dft as _dft
     if _dft.use_matmul_fft():
@@ -392,7 +394,7 @@ def _os_block(F, a, power, Ufd2, sum_u, d_mask, n_c, nc, blk_fft, L_c,
             suf = su.reshape(S * Dmax)
             if nv is not None and (W // 128) <= 128:
                 return ds_finalize_os_scan(cbf, ap, pp, suf, nv, D0,
-                                           Dmax, W)
+                                           Dmax, W, nbin=nbin)
             ds = ds_finalize_os(cbf, ap, pp, suf, D0, Dmax, W)
             return ds if nv is not None else ds[:, :out_len]
     cc = cb[..., D0:D0 + W].reshape(S, Dmax, m * W)
@@ -409,19 +411,21 @@ def _os_block(F, a, power, Ufd2, sum_u, d_mask, n_c, nc, blk_fft, L_c,
 
 
 def os_block_scan(F, a, power, Ufd2, sum_u, d_mask, n_c, nc, blk_fft, L_c,
-                  nv):
+                  nv, nbin=0):
     """Scan-path per-template-block compute from the shared prep:
     returns (ds [S, m*W] with DS positions >= nv masked to -inf,
-    pyr_max [S, (m*W)//128] per-128-sample block maxima)."""
+    pyr_max [S, (m*W)//128] per-128-sample block maxima,
+    hist [S, nbin] or None — fused into the pallas finalize when
+    ``nbin`` > 0 and the pallas path is taken)."""
     ds_full = _os_block(F, a, power, Ufd2, sum_u, d_mask, n_c, nc,
-                        blk_fft, L_c, nv=nv)
+                        blk_fft, L_c, nv=nv, nbin=nbin)
     if isinstance(ds_full, tuple):      # pallas path emitted the pyramid
         return ds_full
     S = ds_full.shape[0]
     pos = jnp.arange(ds_full.shape[1])
     ds = jnp.where(pos[None, :] < nv, ds_full, -jnp.inf)
     pyr = ds.reshape(S, -1, 128).max(axis=-1)
-    return ds, pyr
+    return ds, pyr, None
 
 
 @partial(jax.jit, static_argnames=("n_c", "nc", "blk_fft"))
@@ -433,13 +437,123 @@ def ds_bank_demux_os_scan(x, nv, Ufd2, sum_u, d_mask, n_c, nc, blk_fft):
                          blk_fft, x.shape[0] // nc, nv)
 
 
+# ---------------------------------------------------------------------------
+# Fold-batch overlap-save scan — the round-3 subspace-scan fast path.
+#
+# The batched scan used to lax.map the per-chunk pipeline over the B-chunk
+# batch: every one of its ~10 ops then executes B times, and this backend
+# charges a large FIXED cost per op execution (PERF.md: the 7.1 ms/chunk DS
+# core has no dominant op — it is per-op overhead). Folding the chunk batch
+# into the leading dims of every op makes the whole B-chunk launch ONE
+# instance of each op: the rolling stats are one batched cumsum, the block
+# DFTs are two flat MXU matmuls with ALL of (B, nc|S*D, m) folded into M
+# (ops/dft.py), and the finalize+mask+pyramid+histogram is one Pallas pass.
+# ---------------------------------------------------------------------------
+
+
+def os_prep_batch(X, n_c, nc, blk_fft):
+    """Batched os_prep: X [B, Lc] -> (F [B, nc, m, R], a [B, M],
+    power [B, M]) with all batch dims folded into single op instances."""
+    B, Lc = X.shape
+    L_c = Lc // nc
+    n = n_c * nc
+    out_len, pad0, D0, W, m = _os_geometry(L_c, n_c, blk_fft)
+    mu = jnp.mean(X, axis=1, keepdims=True)
+    sd = jnp.std(X, axis=1, keepdims=True)
+    xs = (X - mu) / jnp.where(sd == 0, 1.0, sd)
+    xc = xs.reshape(B, L_c, nc).transpose(0, 2, 1)      # [B, nc, L_c]
+
+    flat = xc.reshape(B * nc, L_c)
+    s1 = jax.vmap(lambda v: rolling_mean(v, n_c))(flat)
+    s2 = jax.vmap(lambda v: rolling_mean(v * v, n_c))(flat)
+    s1 = s1.reshape(B, nc, -1).sum(axis=1) * n_c        # [B, M]
+    s2 = s2.reshape(B, nc, -1).sum(axis=1) * n_c
+    a = s1 / n
+    var_samp = (s2 - s1 * s1 / n) / (n - 1.0)
+    power = jnp.maximum(var_samp, 0.0) * n
+
+    k = -(-blk_fft // W) + 1
+    xp = jnp.pad(xc, ((0, 0), (0, 0),
+                      (pad0, (m + k - 1) * W - L_c - pad0)))
+    rows = [xp[:, :, j * W:(m + j) * W].reshape(B, nc, m, W)
+            for j in range(k)]
+    xb = jnp.concatenate(rows, axis=3)[:, :, :, :blk_fft]  # [B, nc, m, blk]
+    from detex_tpu.ops import dft as _dft
+    if _dft.use_matmul_fft():
+        F = _dft.rfft_ct(xb, blk_fft)
+    else:
+        F = jnp.fft.rfft(xb, blk_fft, axis=-1)
+    return F, a, power
+
+
+def os_block_scan_batch(F, a, power, Ufd2, sum_u, d_mask, n_c, nc, blk_fft,
+                        L_c, nv, nbin=0):
+    """Fold-batch per-template-block compute: F [B, nc, m, R],
+    a/power [B, M], nv [B] -> (ds [B, S, m*W] masked to -inf past nv,
+    pyr [B, S, (m*W)//128], hist [B, S, nbin] or None).
+
+    Requires the fused Pallas finalize (caller checks
+    fold_scan_supported); ``nbin`` > 0 additionally accumulates the
+    per-row uniform histogram inside the same VMEM pass."""
+    B = F.shape[0]
+    S, Dmax = sum_u.shape
+    out_len, pad0, D0, W, m = _os_geometry(L_c, n_c, blk_fft)
+    from detex_tpu.ops import dft as _dft
+    if _dft.use_matmul_fft():
+        spec = sum(Ufd2[None, :, :, c, None, :] *
+                   F[:, c][:, None, None, :, :]
+                   for c in range(Ufd2.shape[2]))
+        cb = _dft.irfft_ct(spec, blk_fft)       # [B, S, Dmax, m, blk]
+    else:
+        spec = jnp.einsum("sdcr,bcmr->bsdmr", Ufd2, F)
+        cb = jnp.fft.irfft(spec, blk_fft, axis=-1)
+
+    powsafe = jnp.where(power == 0, jnp.inf, power)
+    su = jnp.where(d_mask, sum_u, 0.0)
+    # row-major (chunk, detector) layout; window stats replicated per
+    # detector row (S is small on this path)
+    pad_w = m * W - out_len
+    ap = jnp.pad(a, ((0, 0), (0, pad_w)))
+    pp = jnp.pad(powsafe, ((0, 0), (0, pad_w)), constant_values=1.0)
+    ap = jnp.broadcast_to(ap[:, None, :], (B, S, m * W)).reshape(
+        B * S, m * W)
+    pp = jnp.broadcast_to(pp[:, None, :], (B, S, m * W)).reshape(
+        B * S, m * W)
+    suf = jnp.broadcast_to(su[None], (B, S, Dmax)).reshape(B * S * Dmax)
+    nvr = jnp.broadcast_to(
+        jnp.asarray(nv, jnp.int32)[:, None], (B, S)).reshape(B * S)
+    from detex_tpu.ops.pallas_kernels import ds_finalize_os_fold
+    ds, pyr, hist = ds_finalize_os_fold(
+        cb.reshape(B * S * Dmax, m, blk_fft), ap, pp, suf, nvr, D0, Dmax,
+        W, nbin=nbin)
+    ds = ds.reshape(B, S, m * W)
+    pyr = pyr.reshape(B, S, -1)
+    if hist is not None:
+        hist = hist.reshape(B, S, nbin)
+    return ds, pyr, hist
+
+
+def fold_scan_supported(B, S, Dmax, n_c, blk_fft):
+    """True when the fold-batch OS scan's Pallas finalize can handle this
+    config (tile legality + VMEM budget + pyramid-width limit)."""
+    if not _use_pallas():
+        return False
+    pad0 = (-(n_c - 1)) % 128
+    D0 = n_c - 1 + pad0
+    W = blk_fft - D0
+    if W < 128 or W % 128 or (W // 128) > 128:
+        return False
+    from detex_tpu.ops.pallas_kernels import fold_tile_rows
+    return fold_tile_rows(B * S, Dmax, blk_fft) > 0
+
+
 # full-length spectra above this many complex elements switch the bank to
 # the overlap-save form (S * Dmax * nc * (nfft2/2+1))
 OS_SPECTRA_BUDGET = 1 << 26
 
 
 def build_bank(U_list, nc, data_len_samps, dtype=jnp.float32,
-               block_fft=None):
+               block_fft=None, prefer_os=False):
     """
     Pack basis arrays into the fastest applicable bank for scanning chunks
     of ``data_len_samps`` multiplexed samples: the demultiplexed (polyphase)
@@ -451,6 +565,11 @@ def build_bank(U_list, nc, data_len_samps, dtype=jnp.float32,
     overlap-save demuxed form, which stores template spectra at a short
     block FFT instead of the full chunk length (``block_fft`` forces a
     specific block size; block_fft=0 forces full-length).
+
+    ``prefer_os=True`` chooses the overlap-save form for SMALL banks too —
+    the fold-batch scan path (parallel/scan.py) needs it; on TPU the
+    short-block matmul DFTs plus the fused finalize beat the full-length
+    backend FFT once the chunk batch is folded into each op.
     """
     n = U_list[0].shape[1]
     pad_len = int(data_len_samps)
@@ -462,7 +581,7 @@ def build_bank(U_list, nc, data_len_samps, dtype=jnp.float32,
         Dmax = max(u.shape[0] for u in U_list)
         full_elems = len(U_list) * Dmax * nc * (nfft2 // 2 + 1)
         use_os = (block_fft if block_fft is not None
-                  else (full_elems > OS_SPECTRA_BUDGET))
+                  else (prefer_os or full_elems > OS_SPECTRA_BUDGET))
         if use_os:
             blk = int(block_fft) if block_fft else \
                 2 ** int(4 * n_c).bit_length()

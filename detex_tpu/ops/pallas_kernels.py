@@ -188,11 +188,16 @@ def _finalize_os_kernel(cb_ref, a_ref, power_ref, sum_u_ref, out_ref, *,
 
 
 def _finalize_os_scan_kernel(cb_ref, a_ref, power_ref, sum_u_ref, nv_ref,
-                             out_ref, bmax_ref, *, head, D, W):
+                             kio_ref, out_ref, bmax_ref, hist_ref, *,
+                             head, D, W, nbin):
     """Scan-path variant of _finalize_os_kernel: additionally masks DS
     positions >= nv (pad windows) to -inf and emits per-128-sample block
-    maxima (the trigger pyramid + global max come free from these)."""
-    i = pl.program_id(0)                # OS-block index (output col tile)
+    maxima (the trigger pyramid + global max come free from these).
+    With ``nbin`` it also accumulates the uniform-bin histogram across
+    the m OS blocks — the separate counting-kernel sweep over the [S, L]
+    DS array (40% of network-mode chunk time) folds into this pass."""
+    i = pl.program_id(1)                # OS-block index (innermost so the
+                                        # hist accumulator stays resident)
     cb = cb_ref[...]
     x = cb[:, head:head + W]
     a = a_ref[...]
@@ -209,19 +214,42 @@ def _finalize_os_scan_kernel(cb_ref, a_ref, power_ref, sum_u_ref, nv_ref,
     bm = ds.reshape(S, nb, 128).max(axis=-1)          # [S, nb]
     pad = jnp.full((S, 128 - nb), -jnp.inf, ds.dtype)
     bmax_ref[...] = jnp.concatenate([bm, pad], axis=1)
+    if nbin:
+        @pl.when(i == 0)
+        def _init():
+            hist_ref[...] = jnp.zeros_like(hist_ref)
+
+        g = int(round(nbin ** 0.5))
+        idx = jnp.floor(ds * nbin)
+        idx = jnp.where(ds == 1.0, nbin - 1.0, idx)
+        valid = (ds >= 0.0) & (ds <= 1.0)
+        coarse = jnp.floor(idx * (1.0 / g))
+        fine = idx - coarse * g
+        kio = kio_ref[...]              # [g, 1]
+        for s in range(S):              # static unroll over tile rows
+            A = ((coarse[s:s + 1, :] == kio) &
+                 valid[s:s + 1, :]).astype(jnp.float32)
+            Bf = (fine[s:s + 1, :] == kio).astype(jnp.float32)
+            cnt = jax.lax.dot_general(
+                A, Bf, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            hist_ref[s] += cnt
 
 
-@partial(jax.jit, static_argnames=("head", "D", "W", "interpret"))
-def ds_finalize_os_scan(cb, a, power, sum_u, nv, head, D, W,
+@partial(jax.jit, static_argnames=("head", "D", "W", "nbin", "interpret"))
+def ds_finalize_os_scan(cb, a, power, sum_u, nv, head, D, W, nbin=0,
                         interpret=False):
     """
     ds_finalize_os + fused pad-window masking + trigger-pyramid block
     maxima: returns (ds [S, m*W] with positions >= nv at -inf,
-    pyr_max [S, (m*W)//128] per-128-sample block maxima).
+    pyr_max [S, (m*W)//128] per-128-sample block maxima,
+    hist [S, nbin] float32 counts or None when nbin == 0).
 
     Saves three full sweeps over the [S, m*W] DS array per chunk on the
     scan path (the where-mask, the pyramid build, and the global max —
-    maxds == pyr_max.max(-1)).
+    maxds == pyr_max.max(-1)); with ``nbin`` the per-detector histogram
+    (floor rule, right edge inclusive, out-of-range excluded) accumulates
+    in the same VMEM pass instead of a separate counting-kernel launch.
     """
     SD, m, blk = cb.shape
     S = SD // D
@@ -229,36 +257,191 @@ def ds_finalize_os_scan(cb, a, power, sum_u, nv, head, D, W,
     assert head % 128 == 0 and W % 128 == 0 and (W // 128) <= 128
     st = os_finalize_tile_rows(S, D, blk)
     assert st > 0, "caller must check os_finalize_tile_rows first"
-    grid = (m, S // st)
-    kern = partial(_finalize_os_scan_kernel, head=head, D=D, W=W)
+    g = int(round(nbin ** 0.5)) if nbin else 1
+    if nbin:
+        assert g * g == nbin, "nbin must be a perfect square"
+    grid = (S // st, m)                 # m innermost for hist residency
+    kern = partial(_finalize_os_scan_kernel, head=head, D=D, W=W, nbin=nbin)
     nv_arr = jnp.asarray(nv, jnp.int32).reshape(1, 1)
-    ds, bmax = pl.pallas_call(
+    kio = jnp.arange(g, dtype=jnp.float32)[:, None]
+    ds, bmax, hist = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((st * D, blk), lambda i, j: (j, i),
+            pl.BlockSpec((st * D, blk), lambda j, i: (j, i),
                          memory_space=_VMEM),
-            pl.BlockSpec((1, W), lambda i, j: (0, i), memory_space=_VMEM),
-            pl.BlockSpec((1, W), lambda i, j: (0, i), memory_space=_VMEM),
-            pl.BlockSpec((st * D, 1), lambda i, j: (j, 0),
+            pl.BlockSpec((1, W), lambda j, i: (0, i), memory_space=_VMEM),
+            pl.BlockSpec((1, W), lambda j, i: (0, i), memory_space=_VMEM),
+            pl.BlockSpec((st * D, 1), lambda j, i: (j, 0),
                          memory_space=_VMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+            pl.BlockSpec((1, 1), lambda j, i: (0, 0),
                          memory_space=_VMEM),
+            pl.BlockSpec((g, 1), lambda j, i: (0, 0), memory_space=_VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((st, W), lambda i, j: (j, i),
+            pl.BlockSpec((st, W), lambda j, i: (j, i),
                          memory_space=_VMEM),
-            pl.BlockSpec((st, 128), lambda i, j: (j, i),
+            pl.BlockSpec((st, 128), lambda j, i: (j, i),
+                         memory_space=_VMEM),
+            pl.BlockSpec((st, g, g), lambda j, i: (j, 0, 0),
                          memory_space=_VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((S, m * W), cb.dtype),
-                   jax.ShapeDtypeStruct((S, m * 128), cb.dtype)],
+                   jax.ShapeDtypeStruct((S, m * 128), cb.dtype),
+                   jax.ShapeDtypeStruct((S, g, g), jnp.float32)],
         interpret=interpret,
     )(cb.reshape(SD, m * blk), a[None, :], power[None, :],
-      sum_u.reshape(SD, 1), nv_arr)
+      sum_u.reshape(SD, 1), nv_arr, kio)
     nb = W // 128
     pyr = bmax.reshape(S, m, 128)[:, :, :nb].reshape(S, m * nb)
-    return ds, pyr
+    return ds, pyr, (hist.reshape(S, nbin) if nbin else None)
+
+
+def _finalize_os_fold_kernel(cb_ref, a_ref, power_ref, sum_u_ref, nv_ref,
+                             kio_ref, out_ref, bmax_ref, hist_ref, *,
+                             head, D, W, nbin):
+    """Fold-batch finalize: rows are (chunk, detector) pairs, so the
+    window stats / nv arrive per ROW rather than per chunk. Emits the
+    masked DS tile, the per-128-sample block maxima, and (nbin > 0) the
+    uniform-bin histogram accumulated across the m OS blocks — one VMEM
+    pass over data that previously took finalize + mask + pyramid + max +
+    a separate counting-kernel launch."""
+    i = pl.program_id(1)                # OS-block index (m innermost so
+                                        # the hist accumulator block stays
+                                        # VMEM-resident across blocks)
+    cb = cb_ref[...]                    # [st*D, blk]
+    x = cb[:, head:head + W]
+    a = a_ref[...]                      # [st, W] per-row stats
+    power = power_ref[...]              # [st, W]
+    su = sum_u_ref[...]                 # [st*D, 1]
+    st = out_ref.shape[0]
+    xr = x.reshape(st, D, W)
+    y = xr - su.reshape(st, D, 1) * a.reshape(st, 1, W)
+    y2 = (y * y).sum(axis=1)            # [st, W]
+    ds = y2 / power
+    pos = i * W + jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    nv = nv_ref[...]                    # [st, 1] per-row valid counts
+    ds = jnp.where(pos < nv, ds, -jnp.inf)
+    out_ref[...] = ds
+    nb = W // 128
+    bm = ds.reshape(st, nb, 128).max(axis=-1)
+    pad = jnp.full((st, 128 - nb), -jnp.inf, ds.dtype)
+    bmax_ref[...] = jnp.concatenate([bm, pad], axis=1)
+    if nbin:
+        @pl.when(i == 0)
+        def _init():
+            hist_ref[...] = jnp.zeros_like(hist_ref)
+
+        g = int(round(nbin ** 0.5))
+        idx = jnp.floor(ds * nbin)
+        idx = jnp.where(ds == 1.0, nbin - 1.0, idx)
+        valid = (ds >= 0.0) & (ds <= 1.0)
+        coarse = jnp.floor(idx * (1.0 / g))
+        fine = idx - coarse * g
+        kio = kio_ref[...]              # [g, 1]
+        for s in range(st):             # static unroll
+            A = ((coarse[s:s + 1, :] == kio) &
+                 valid[s:s + 1, :]).astype(jnp.float32)
+            Bf = (fine[s:s + 1, :] == kio).astype(jnp.float32)
+            cnt = jax.lax.dot_general(
+                A, Bf, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            hist_ref[s] += cnt
+
+
+def fold_tile_rows(BS, D, blk):
+    """(chunk, detector) rows per tile for ds_finalize_os_fold: the tile
+    must be Mosaic-legal (row count a multiple of 8, or the whole array)
+    and fit the VMEM budget. 0 = unsupported."""
+    if BS * D * blk * 4 <= _FOLD_TILE_BUDGET:
+        return BS
+    st, best = 8, 0
+    while st <= BS:
+        if BS % st == 0 and st * D * blk * 4 <= _FOLD_TILE_BUDGET:
+            best = st
+        st *= 2
+    return best
+
+
+# fold-kernel cb tile budget: slightly above the plain OS finalize's —
+# the fold path's tiles carry st*D rows and the hist accumulator, so keep
+# headroom under the ~16 MB scoped-vmem limit
+_FOLD_TILE_BUDGET = 3 * 1024 * 1024
+
+
+@partial(jax.jit, static_argnames=("head", "D", "W", "nbin", "interpret"))
+def ds_finalize_os_fold(cb, a, power, sum_u, nv, head, D, W, nbin=0,
+                        interpret=None):
+    """
+    Fold-batch variant of ds_finalize_os_scan: rows are (chunk, detector)
+    pairs (BS = B*S of them), with per-ROW window stats and valid lengths.
+
+    Parameters
+    ----------
+    cb : [BS*D, m, blk] raw overlap-save irfft blocks
+    a, power : [BS, m*W] per-row rolling stats (padded past out_len)
+    sum_u : [BS*D] basis sums (masked slots 0)
+    nv : [BS] int32 per-row valid DS sample counts
+    head, D, W : aligned discard head, basis dim, block advance
+    nbin : 0 = no histogram; else a perfect-square uniform bin count to
+        accumulate per row inside the same pass (np.histogram floor rule,
+        right edge inclusive, out-of-range excluded)
+
+    Returns
+    -------
+    (ds [BS, m*W] with positions >= nv at -inf,
+     pyr [BS, (m*W)//128] block maxima,
+     hist [BS, nbin] float32 counts or None)
+    """
+    if interpret is None:
+        # interpret-mode off-TPU so the fold path is testable on the CPU
+        # CI backend (DETEX_TPU_PALLAS=1 there routes scans through here)
+        try:
+            interpret = jax.default_backend() != "tpu"
+        except Exception:  # pragma: no cover
+            interpret = True
+    BSD, m, blk = cb.shape
+    BS = BSD // D
+    assert a.shape == (BS, m * W) and power.shape == (BS, m * W)
+    assert head % 128 == 0 and W % 128 == 0 and (W // 128) <= 128
+    st = fold_tile_rows(BS, D, blk)
+    assert st > 0, "caller must check fold_tile_rows first"
+    g = int(round(nbin ** 0.5)) if nbin else 1
+    if nbin:
+        assert g * g == nbin, "nbin must be a perfect square"
+    grid = (BS // st, m)
+    kern = partial(_finalize_os_fold_kernel, head=head, D=D, W=W, nbin=nbin)
+    kio = jnp.arange(g, dtype=jnp.float32)[:, None]
+    ds, bmax, hist = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((st * D, blk), lambda j, i: (j, i),
+                         memory_space=_VMEM),
+            pl.BlockSpec((st, W), lambda j, i: (j, i), memory_space=_VMEM),
+            pl.BlockSpec((st, W), lambda j, i: (j, i), memory_space=_VMEM),
+            pl.BlockSpec((st * D, 1), lambda j, i: (j, 0),
+                         memory_space=_VMEM),
+            pl.BlockSpec((st, 1), lambda j, i: (j, 0), memory_space=_VMEM),
+            pl.BlockSpec((g, 1), lambda j, i: (0, 0), memory_space=_VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((st, W), lambda j, i: (j, i), memory_space=_VMEM),
+            pl.BlockSpec((st, 128), lambda j, i: (j, i),
+                         memory_space=_VMEM),
+            pl.BlockSpec((st, g, g), lambda j, i: (j, 0, 0),
+                         memory_space=_VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((BS, m * W), cb.dtype),
+                   jax.ShapeDtypeStruct((BS, m * 128), cb.dtype),
+                   jax.ShapeDtypeStruct((BS, g, g), jnp.float32)],
+        interpret=interpret,
+    )(cb.reshape(BSD, m * blk), a, power,
+      jnp.asarray(sum_u).reshape(BSD, 1),
+      jnp.asarray(nv, jnp.int32).reshape(BS, 1), kio)
+    nb = W // 128
+    pyr = bmax.reshape(BS, m, 128)[:, :, :nb].reshape(BS, m * nb)
+    return ds, pyr, (hist.reshape(BS, nbin) if nbin else None)
 
 
 # cb VMEM tile budget (bytes); configs whose smallest legal tile exceeds it

@@ -212,10 +212,15 @@ def _chunk_fn(x, nv, arrs, thresholds, bins, demux, n_c, nc, nfft,
         tidx, tval, tcnt = jax.vmap(trig_one)(ds, th)
         return hist, maxds, tidx, tval, tcnt
 
-    def finish_os(ds, pyr, th):
+    def finish_os(ds, pyr, th, fused_hist=None):
         """OS path: mask + pyramid + global max come fused from the DS
-        kernel (ds is full block width, pad positions already -inf)."""
-        hist = _hist_of(ds)
+        kernel (ds is full block width, pad positions already -inf);
+        ``fused_hist`` carries the histogram when the finalize kernel
+        accumulated it in-pass (no separate counting sweep)."""
+        if fused_hist is not None and calc_hist:
+            hist = fused_hist.astype(jnp.int32)
+        else:
+            hist = _hist_of(ds)
         maxds = jnp.max(pyr, axis=-1)
 
         def trig_one(v, pm, t):
@@ -237,10 +242,11 @@ def _chunk_fn(x, nv, arrs, thresholds, bins, demux, n_c, nc, nfft,
 
     def run_one(blk_arrs, th):
         if demux == "os":
-            ds, pyr = _ds.os_block_scan(
+            nbin = uniform_nbin if calc_hist else 0
+            ds, pyr, fh = _ds.os_block_scan(
                 osF, os_a, os_pw, blk_arrs[0], blk_arrs[1], blk_arrs[2],
-                n_c, nc, nfft, os_Lc, nv)
-            return finish_os(ds, pyr, th)
+                n_c, nc, nfft, os_Lc, nv, nbin=nbin)
+            return finish_os(ds, pyr, th, fused_hist=fh)
         return finish(_ds_of(x, blk_arrs, demux, n_c, nc, nfft), th)
 
     blocked = arrs[2].ndim == 3  # d_mask [nB, SB, Dmax] when pre-blocked
@@ -254,6 +260,70 @@ def _chunk_fn(x, nv, arrs, thresholds, bins, demux, n_c, nc, nfft,
         one_block, arrs + (thresholds,))
     cat = lambda a: a.reshape((-1,) + a.shape[2:])[:S]          # noqa
     return cat(hist), cat(maxds), cat(tidx), cat(tval), cat(tcnt)
+
+
+def _fold_scan_ok(bank, st, X, calc_hist, bins_uniform_nbin):
+    """Route to the fold-batch scan when the bank is overlap-save,
+    unblocked, the fused Pallas finalize supports the config, and the
+    histogram (if requested) is uniform-bin (fused into the finalize)."""
+    if st["demux"] != "os" or st["S"] > TEMPLATE_BLOCK:
+        return False
+    if not bins_uniform_nbin:   # hist width comes from the uniform bins
+        return False
+    B = int(X.shape[0])
+    Dmax = int(bank["Dmax"])
+    # HBM guard: the folded irfft intermediate is [B, S, Dmax, m, blk] f32
+    # (plus a complex spectra array twice that size)
+    L_c = int(X.shape[1]) // st["nc"]
+    _, _, _, W, m = _ds._os_geometry(L_c, st["n_c"], st["nfft"])
+    if B * st["S"] * Dmax * m * st["nfft"] * 4 > (2 << 30):
+        return False
+    return _ds.fold_scan_supported(B, st["S"], Dmax, st["n_c"], st["nfft"])
+
+
+def _fold_chunks_fn(X, NV, arrs, thresholds, n_c, nc, blk_fft, buff_samps,
+                    max_trig, S, calc_hist, uniform_nbin):
+    """Fold-batch OS scan body: every op instance covers the whole chunk
+    batch (no lax.map) — see ops/ds.py os_prep_batch. Outputs match
+    _chunk_fn's contract: (hist [S, nbins] summed over chunks,
+    maxds [B, S], tidx [B, S, K], tval, tcnt)."""
+    B = X.shape[0]
+    L_c = X.shape[1] // nc
+    F, a, power = _ds.os_prep_batch(X, n_c, nc, blk_fft)
+    nbin = uniform_nbin if calc_hist else 0
+    ds, pyr, hist = _ds.os_block_scan_batch(
+        F, a, power, arrs[0], arrs[1], arrs[2], n_c, nc, blk_fft, L_c, NV,
+        nbin=nbin)
+    maxds = pyr.max(axis=-1)                            # [B, S]
+    if calc_hist:
+        hist_tot = hist.sum(axis=0).astype(jnp.int32)   # [S, nbin]
+    else:
+        hist_tot = jnp.zeros((S, uniform_nbin), jnp.int32)
+    dsf = ds.reshape(B * S, -1)
+    pyrf = pyr.reshape(B * S, -1)
+    thf = jnp.broadcast_to(thresholds[None, :], (B, S)).reshape(B * S)
+
+    def trig_one(v, pm, t):
+        idx, cnt = _triggers.extract_triggers_pyramid_pm(
+            v, pm, t, buff_samps, max_triggers=max_trig)
+        vals = jnp.where(idx >= 0, v[jnp.clip(idx, 0, v.shape[0] - 1)],
+                         jnp.nan)
+        return idx, vals, cnt
+
+    tidx, tval, tcnt = jax.vmap(trig_one)(dsf, pyrf, thf)
+    K = tidx.shape[-1]
+    return (hist_tot, maxds, tidx.reshape(B, S, K), tval.reshape(B, S, K),
+            tcnt.reshape(B, S))
+
+
+@partial(jax.jit, static_argnames=("n_c", "nc", "blk_fft", "buff_samps",
+                                   "max_trig", "S", "calc_hist",
+                                   "uniform_nbin"))
+def _scan_chunks_fold_jit(X, NV, arrs, thresholds, n_c, nc, blk_fft,
+                          buff_samps, max_trig, S, calc_hist=True,
+                          uniform_nbin=0):
+    return _fold_chunks_fn(X, NV, arrs, thresholds, n_c, nc, blk_fft,
+                           buff_samps, max_trig, S, calc_hist, uniform_nbin)
 
 
 @partial(jax.jit, static_argnames=("demux", "n_c", "nc", "nfft",
@@ -308,13 +378,20 @@ def scan_chunks(X, bank, thresholds, nc, buff_samps, bins=None, max_trig=64,
     # NOTE: X may be a device array — never np.asarray it here (a full
     # device->host transfer through the TPU tunnel); only shapes are needed
     nv = _valid_lens(bank, nc, X, valid_lens)
+    unb = _uniform_nbin(bins)
+    if _fold_scan_ok(bank, st, X, calc_hist, unb):
+        return _scan_chunks_fold_jit(
+            jnp.asarray(X, jnp.float32), jnp.asarray(nv),
+            _bank_arrays(bank), jnp.asarray(thresholds, jnp.float32),
+            st["n_c"], st["nc"], st["nfft"], int(buff_samps),
+            int(max_trig), st["S"], bool(calc_hist), unb)
     return _scan_chunks_jit(jnp.asarray(X, jnp.float32), jnp.asarray(nv),
                             _bank_arrays(bank),
                             _blocked_thresholds(bank, thresholds),
                             jnp.asarray(bins, jnp.float32), st["demux"],
                             st["n_c"], st["nc"], st["nfft"],
                             int(buff_samps), int(max_trig), st["S"],
-                            bool(calc_hist), _uniform_nbin(bins))
+                            bool(calc_hist), unb)
 
 
 def _chunk_fn_raw(xc, Lv, H, arrs, thresholds, bins, n_c, nc, nfft,
@@ -401,7 +478,28 @@ def _sharded_scan_fn(mesh, demux, n_c, nc, nfft, buff_samps, max_trig, axis,
 
     fn = shard_map(shard_body, mesh=mesh,
                    in_specs=(P(axis), P(axis), P(), P(), P()),
-                   out_specs=(P(), P(axis), P(axis), P(axis), P(axis)))
+                   out_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+                   check_vma=False)
+    return jax.jit(fn)
+
+
+@lru_cache(maxsize=None)
+def _sharded_scan_fold_fn(mesh, n_c, nc, blk_fft, buff_samps, max_trig,
+                          axis, S, calc_hist=True, uniform_nbin=0):
+    """Sharded fold-batch scan: each device folds ITS chunk shard into
+    single op instances; histograms merge with one psum."""
+
+    def shard_body(Xs, NV, arrs, thresholds):
+        hist, maxds, tidx, tval, tcnt = _fold_chunks_fn(
+            Xs, NV, arrs, thresholds, n_c, nc, blk_fft, buff_samps,
+            max_trig, S, calc_hist, uniform_nbin)
+        hist = jax.lax.psum(hist, axis)
+        return hist, maxds, tidx, tval, tcnt
+
+    fn = shard_map(shard_body, mesh=mesh,
+                   in_specs=(P(axis), P(axis), P(), P()),
+                   out_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+                   check_vma=False)
     return jax.jit(fn)
 
 
@@ -421,7 +519,8 @@ def _sharded_scan_raw_fn(mesh, n_c, nc, nfft, buff_samps, max_trig, dec,
 
     fn = shard_map(shard_body, mesh=mesh,
                    in_specs=(P(axis), P(axis), P(), P(), P(), P()),
-                   out_specs=(P(), P(axis), P(axis), P(axis), P(axis)))
+                   out_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+                   check_vma=False)
     return jax.jit(fn)
 
 
@@ -442,9 +541,18 @@ def scan_chunks_sharded(mesh, X, bank, thresholds, nc, buff_samps,
     X = np.asarray(X, np.float32)
     nv = _valid_lens(bank, nc, X, valid_lens)
     X, nv, B = _pad_batch(mesh.size, X, nv)
+    unb = _uniform_nbin(bins)
+    if _fold_scan_ok(bank, st, X[:X.shape[0] // mesh.size], calc_hist, unb):
+        fn = _sharded_scan_fold_fn(mesh, st["n_c"], int(nc), st["nfft"],
+                                   int(buff_samps), int(max_trig), axis,
+                                   st["S"], bool(calc_hist), unb)
+        hist, maxds, tidx, tval, tcnt = fn(
+            jnp.asarray(X), jnp.asarray(nv), _bank_arrays(bank),
+            jnp.asarray(thresholds, jnp.float32))
+        return hist, maxds[:B], tidx[:B], tval[:B], tcnt[:B]
     fn = _sharded_scan_fn(mesh, st["demux"], st["n_c"], int(nc), st["nfft"],
                           int(buff_samps), int(max_trig), axis, st["S"],
-                          bool(calc_hist), _uniform_nbin(bins))
+                          bool(calc_hist), unb)
     hist, maxds, tidx, tval, tcnt = fn(
         jnp.asarray(X), jnp.asarray(nv), _bank_arrays(bank),
         _blocked_thresholds(bank, thresholds),

@@ -97,7 +97,9 @@ def load_detectors(path, chunk_sec=3600.0, conBuff=120.0):
             by_n.setdefault(U.shape[1], []).append((det, U))
         banks = []
         for n, items in sorted(by_n.items()):
-            bank = _ds.build_bank([u for _, u in items], nc, data_len)
+            # overlap-save on TPU -> the fold-batch scan path
+            bank = _ds.build_bank([u for _, u in items], nc, data_len,
+                                  prefer_os=_ds._use_pallas())
             bank["names"] = [d["name"] for d, _ in items]
             bank["thresholds"] = np.array([d["threshold"]
                                            for d, _ in items], np.float32)

@@ -858,13 +858,15 @@ class SubSpace(object):
               multiprocess=False, delOldCorrs=True, calcHist=True,
               useSubSpaces=True, useSingles=False, estimateMags=True,
               classifyEvents=None, eventCorFile="EventCors", utcSaves=None,
-              fillZeros=False, batchSize=8, devicePrep=False,
+              fillZeros=False, batchSize=32, devicePrep=False,
               staltaThreshold=None):
         """
         Run subspace detection over continuous data; detections land in the
         SQLite database ``subspaceDB`` with the reference schema
         (reference subspace.py:1745-1902). ``batchSize`` chunks are scanned
-        per device call (histograms/maxima stay on device); 1 reverts to
+        per device call (histograms/maxima stay on device; on TPU the
+        fold-batch scan amortizes per-op cost over the whole batch, so
+        larger batches scan faster up to HBM limits); 1 reverts to
         the per-chunk path (always used for classifyEvents/utcSaves modes).
         ``devicePrep=True`` fuses detrend + zero-phase bandpass into the
         device scan (see detex_tpu.ops.prep), removing the host filter from

@@ -457,6 +457,78 @@ int detex_steim1_encode(const int32_t* x, int64_t n, uint8_t* out,
     return static_cast<int>(k);
 }
 
-int detex_abi_version() { return 2; }
+// STEIM2-encode int32 samples into big-endian 64-byte frames.
+// Greedy densest-class packing per 32-bit word: 7x4 / 6x5 / 5x6 bits
+// (c=3, dnib 2/1/0), 4x8 (c=1, no dnib), 3x10 / 2x15 / 1x30 (c=2,
+// dnib 3/2/1). Frame 0 words 1-2 hold the forward/reverse integration
+// constants. Returns samples consumed (<= n, limited by capacity), or
+// -1 if a sample-to-sample difference exceeds the 30-bit STEIM2 range.
+int detex_steim2_encode(const int32_t* x, int64_t n, uint8_t* out,
+                        int nframes) {
+    if (n <= 0 || nframes <= 0) return 0;
+    const int need_swap = host_is_little();
+    std::memset(out, 0, static_cast<size_t>(nframes) * 64);
+    int64_t k = 0;
+    auto put_word = [&](int f, int w, uint32_t v) {
+        uint32_t be = need_swap ? __builtin_bswap32(v) : v;
+        std::memcpy(out + f * 64 + 4 * w, &be, 4);
+    };
+    auto diff_at = [&](int64_t i) -> int64_t {
+        return i == 0 ? 0
+                      : static_cast<int64_t>(x[i]) -
+                            static_cast<int64_t>(x[i - 1]);
+    };
+    auto fits = [&](int64_t v, int bits) {
+        const int64_t lim = int64_t(1) << (bits - 1);
+        return v >= -lim && v < lim;
+    };
+    auto run_fits = [&](int cnt, int bits) {
+        if (k + cnt > n) return false;
+        for (int j = 0; j < cnt; ++j)
+            if (!fits(diff_at(k + j), bits)) return false;
+        return true;
+    };
+    for (int f = 0; f < nframes && k < n; ++f) {
+        uint32_t w0 = 0;
+        const int wstart = (f == 0) ? 3 : 1;
+        for (int w = wstart; w < 16 && k < n; ++w) {
+            int c, cnt, bits, dnib;
+            if (run_fits(7, 4)) {
+                c = 3; dnib = 2; cnt = 7; bits = 4;
+            } else if (run_fits(6, 5)) {
+                c = 3; dnib = 1; cnt = 6; bits = 5;
+            } else if (run_fits(5, 6)) {
+                c = 3; dnib = 0; cnt = 5; bits = 6;
+            } else if (run_fits(4, 8)) {
+                c = 1; dnib = -1; cnt = 4; bits = 8;
+            } else if (run_fits(3, 10)) {
+                c = 2; dnib = 3; cnt = 3; bits = 10;
+            } else if (run_fits(2, 15)) {
+                c = 2; dnib = 2; cnt = 2; bits = 15;
+            } else if (fits(diff_at(k), 30)) {
+                c = 2; dnib = 1; cnt = 1; bits = 30;
+            } else {
+                return -1;  // diff exceeds STEIM2's 30-bit maximum
+            }
+            uint32_t word = (dnib >= 0)
+                ? (static_cast<uint32_t>(dnib) << 30) : 0u;
+            const uint32_t mask =
+                (bits == 32) ? 0xffffffffu
+                             : ((uint32_t(1) << bits) - 1u);
+            for (int j = 0; j < cnt; ++j)
+                word |= (static_cast<uint32_t>(diff_at(k + j)) & mask)
+                        << (bits * (cnt - 1 - j));
+            k += cnt;
+            w0 |= static_cast<uint32_t>(c) << (2 * (15 - w));
+            put_word(f, w, word);
+        }
+        put_word(f, 0, w0);
+    }
+    put_word(0, 1, static_cast<uint32_t>(x[0]));
+    put_word(0, 2, static_cast<uint32_t>(x[k - 1]));
+    return static_cast<int>(k);
+}
+
+int detex_abi_version() { return 3; }
 
 }  // extern "C"

@@ -113,6 +113,44 @@ def main():
     assert d_mx < 1e-5, "fused OS scan maxds drifted"
     assert (tc1 == tc0).all() and (ti1 == ti0).all(), \
         "fused OS scan triggers drifted"
+    # fused-finalize histogram (fold path) vs the sort path: totals exact,
+    # cells only differ within edge-ULP reassignment
+    assert (h1.sum(axis=1) == h0.sum(axis=1)).all(), \
+        "fused scan histogram lost/added samples"
+    assert int((h1 != h0).sum()) <= 16, \
+        "fused scan histogram drifted beyond edge-ULP cells"
+
+    # blocked (network-path) scan with the in-finalize histogram: a bank
+    # larger than TEMPLATE_BLOCK exercises lax.map over template blocks +
+    # ds_finalize_os_scan(nbin=400)
+    SBIG = pscan.TEMPLATE_BLOCK + 8
+    rngb = np.random.default_rng(5)
+    Tb = rngb.standard_normal((SBIG, 3 * 1500))
+    Ub = [np.ascontiguousarray((t / np.linalg.norm(t))[None, :])
+          for t in Tb]
+    bank_big = dsops.build_bank(Ub, nc, Lc, block_fft=4096)
+    assert bank_big.get("os")
+    thb = np.full(SBIG, 0.2, np.float32)
+    outs_big = {}
+    for flag in ("1", "0"):
+        os.environ["DETEX_TPU_PALLAS"] = flag
+        pscan._scan_chunks_jit.clear_cache()
+        h, mx, ti, tv, tc = pscan.scan_chunks(
+            X2[:1], bank_big, thb, nc, 200, max_trig=4)
+        outs_big[flag] = (np.asarray(h), np.asarray(mx), np.asarray(ti),
+                         np.asarray(tc))
+    os.environ.pop("DETEX_TPU_PALLAS", None)
+    hb1, mb1, tib1, tcb1 = outs_big["1"]
+    hb0, mb0, tib0, tcb0 = outs_big["0"]
+    print("blocked-scan pallas-vs-xla maxds|diff| = %.3g, hist cells "
+          "diff = %d" % (float(np.abs(mb1 - mb0).max()),
+                         int((hb1 != hb0).sum())))
+    assert float(np.abs(mb1 - mb0).max()) < 1e-5
+    assert (tib1 == tib0).all() and (tcb1 == tcb0).all()
+    assert (hb1.sum(axis=1) == hb0.sum(axis=1)).all(), \
+        "blocked-scan fused histogram lost/added samples"
+    assert int((hb1 != hb0).sum()) <= SBIG, \
+        "blocked-scan fused histogram drifted beyond edge-ULP cells"
 
     nbad = int((got != want).sum())
     print("hist mismatch cells: %d / %d" % (nbad, got.size))

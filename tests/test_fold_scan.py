@@ -1,0 +1,134 @@
+"""Fold-batch OS scan path (parallel/scan.py round-3 fast path): the whole
+chunk batch is folded into each op instead of lax.map-ing the per-chunk
+pipeline. Must be output-identical to the per-chunk path (which is itself
+gated against the float64 oracle)."""
+import os
+
+import numpy as np
+import pytest
+
+from detex_tpu.ops import ds as dsops
+from detex_tpu.parallel import scan as pscan
+
+
+@pytest.fixture()
+def pallas_env(monkeypatch):
+    """Force the pallas routing on the CPU backend (kernels auto-select
+    interpret mode off-TPU)."""
+    monkeypatch.setenv("DETEX_TPU_PALLAS", "1")
+    yield
+    monkeypatch.delenv("DETEX_TPU_PALLAS", raising=False)
+
+
+def _mk_bank(rng, nc=3, n_c=30, Lc=9000):
+    n = n_c * nc
+    U1 = rng.standard_normal((2, n))
+    q, _ = np.linalg.qr(U1.T)
+    U1 = np.ascontiguousarray(q[:, :2].T)
+    U2 = rng.standard_normal((1, n))
+    U2 = U2 / np.linalg.norm(U2)
+    bank = dsops.build_bank([U1, U2], nc, Lc, prefer_os=True)
+    assert bank.get("os")
+    return bank, U1
+
+
+def test_fold_scan_matches_per_chunk_path(pallas_env):
+    rng = np.random.default_rng(3)
+    nc, Lc = 3, 9000
+    bank, U1 = _mk_bank(rng, nc=nc, Lc=Lc)
+    th = np.array([0.25, 0.25], np.float32)
+    B = 3
+    X = rng.standard_normal((B, Lc)).astype(np.float32)
+    lens = [Lc, Lc - 600, Lc - 1200]
+    for i, L in enumerate(lens):
+        X[i, L:] = 0.0
+    st = pscan._bank_statics(bank, nc)
+    assert pscan._fold_scan_ok(bank, st, X, True, 400)
+    fold = pscan.scan_chunks(X, bank, th, nc, buff_samps=50, max_trig=8,
+                             valid_lens=lens)
+    os.environ["DETEX_TPU_PALLAS"] = "0"
+    try:
+        base = pscan.scan_chunks(X, bank, th, nc, buff_samps=50,
+                                 max_trig=8, valid_lens=lens)
+    finally:
+        os.environ["DETEX_TPU_PALLAS"] = "1"
+    hist_f, maxds_f, tidx_f, tval_f, tcnt_f = map(np.asarray, fold)
+    hist_b, maxds_b, tidx_b, tval_b, tcnt_b = map(np.asarray, base)
+    assert np.array_equal(hist_f, hist_b)       # fused hist == counting
+    assert np.allclose(maxds_f, maxds_b, atol=2e-5)
+    assert np.array_equal(tidx_f, tidx_b)
+    assert np.array_equal(tcnt_f, tcnt_b)
+    m = tidx_f >= 0
+    assert np.allclose(tval_f[m], tval_b[m], atol=2e-5)
+
+    # and against the float64 oracle on the full chunk
+    ds64 = dsops.ds_numpy(np.asarray(X[0], np.float64), U1, nc)
+    assert abs(ds64.max() - maxds_f[0, 0]) < 2e-5
+
+
+def test_fold_scan_calc_hist_off(pallas_env):
+    rng = np.random.default_rng(4)
+    nc, Lc = 3, 9000
+    bank, _ = _mk_bank(rng, nc=nc, Lc=Lc)
+    th = np.array([0.25, 0.25], np.float32)
+    X = rng.standard_normal((2, Lc)).astype(np.float32)
+    hist, maxds, *_ = pscan.scan_chunks(X, bank, th, nc, buff_samps=50,
+                                        max_trig=8, calc_hist=False)
+    assert np.asarray(hist).sum() == 0
+    assert np.isfinite(np.asarray(maxds)).all()
+
+
+def test_fold_scan_sharded_matches_single(pallas_env):
+    """Mesh-sharded fold scan (psum'd hist) == single-device fold scan."""
+    from detex_tpu.parallel.mesh import make_mesh
+    rng = np.random.default_rng(7)
+    nc, Lc = 3, 9000
+    bank, _ = _mk_bank(rng, nc=nc, Lc=Lc)
+    th = np.array([0.25, 0.25], np.float32)
+    B = 5   # odd: exercises mesh padding
+    X = rng.standard_normal((B, Lc)).astype(np.float32)
+    lens = [Lc, Lc - 300, Lc, Lc - 900, Lc]
+    for i, L in enumerate(lens):
+        X[i, L:] = 0.0
+    mesh = make_mesh()
+    assert mesh.size > 1
+    single = pscan.scan_chunks(X, bank, th, nc, buff_samps=50, max_trig=8,
+                               valid_lens=lens)
+    shard = pscan.scan_chunks(X, bank, th, nc, buff_samps=50, max_trig=8,
+                              valid_lens=lens, mesh=mesh)
+    for a, b in zip(single, shard):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape
+        assert np.allclose(np.nan_to_num(a, nan=-9, neginf=-1e30),
+                           np.nan_to_num(b, nan=-9, neginf=-1e30),
+                           atol=2e-5)
+
+
+def test_finalize_os_fold_hist_matches_np(pallas_env):
+    """The fused histogram must equal np.histogram's floor-rule counting
+    over the valid DS samples (invalid/-inf positions excluded)."""
+    from detex_tpu.ops.pallas_kernels import ds_finalize_os_fold
+    rng = np.random.default_rng(5)
+    BS, D, m, blk, W = 2, 2, 3, 256, 128
+    head = blk - W
+    cb = rng.standard_normal((BS * D, m, blk)).astype(np.float32)
+    a = rng.standard_normal((BS, m * W)).astype(np.float32) * 0.01
+    power = (1.0 + rng.random((BS, m * W))).astype(np.float32)
+    su = rng.standard_normal(BS * D).astype(np.float32) * 0.01
+    nv = np.array([m * W, m * W - 37], np.int32)
+    ds, pyr, hist = ds_finalize_os_fold(cb, a, power, su, nv, head, D, W,
+                                        nbin=400, interpret=True)
+    ds, pyr, hist = map(np.asarray, (ds, pyr, hist))
+    for r in range(BS):
+        v = ds[r, :nv[r]]
+        want = np.floor(v * 400)
+        want = np.where(v == 1.0, 399, want)
+        ok = (v >= 0) & (v <= 1)
+        counts = np.bincount(want[ok].astype(int), minlength=400)
+        assert np.array_equal(hist[r], counts)
+        # pyramid maxima
+        assert np.allclose(pyr[r], np.where(
+            np.arange(m * W).reshape(-1, 128).max(axis=1) >= 0,
+            np.pad(ds[r], (0, 0)).reshape(-1, 128).max(axis=1),
+            -np.inf))
+        assert (ds[r, nv[r]:] == -np.inf).all()

@@ -27,7 +27,8 @@ def _stream(rng, n=5000, sr=100.0, t0=1262304000.0, kind="int"):
     return Stream(traces=[tr])
 
 
-@pytest.mark.parametrize("enc", ["STEIM1", "INT32", "FLOAT32", "FLOAT64"])
+@pytest.mark.parametrize("enc", ["STEIM1", "STEIM2", "INT32",
+                                 "FLOAT32", "FLOAT64"])
 def test_roundtrip(rng, tmp_path, enc):
     st = _stream(rng, kind="int")
     p = str(tmp_path / ("x_%s.msd" % enc))
@@ -66,6 +67,39 @@ def test_big_steim1_multi_record(rng, tmp_path):
     assert len(st2) == 1
     assert np.array_equal(st2[0].data, data)
     assert st2[0].stats.location == "01"
+
+
+def test_big_steim2_multi_record(rng, tmp_path):
+    """STEIM2 write support (round-trip through the reference-compatible
+    decoder): exercises every packing class (7x4 .. 1x30 bit diffs)."""
+    rng2 = np.random.default_rng(77)
+    parts = [
+        np.cumsum(rng2.integers(-6, 6, size=3000)),       # 4/5/6-bit
+        np.cumsum(rng2.integers(-100, 100, size=3000)),   # 8/10-bit
+        np.cumsum(rng2.integers(-12000, 12000, size=3000)),  # 15-bit
+        np.cumsum(rng2.integers(-2 ** 27, 2 ** 27, size=300)),  # 30-bit
+    ]
+    data = np.concatenate(parts).astype(np.float64)
+    st = Stream(traces=[Trace(data, header=dict(
+        network="UU", station="S2", location="", channel="EHZ",
+        sampling_rate=40.0, starttime=UTCDateTime(1400000000.0)))])
+    p = str(tmp_path / "big2.msd")
+    mseed.write_mseed(st, p, encoding="STEIM2", reclen=512)
+    st2 = mseed.read_mseed(p)
+    assert len(st2) == 1
+    assert np.array_equal(st2[0].data, data)
+
+
+def test_steim2_rejects_oversize_diffs(rng, tmp_path):
+    """Diffs beyond STEIM2's 30-bit ceiling must raise, not corrupt."""
+    data = np.zeros(100, np.float64)
+    data[50] = 2 ** 30 + 5     # diff > 30-bit range
+    st = Stream(traces=[Trace(data, header=dict(
+        network="UU", station="S3", location="", channel="EHZ",
+        sampling_rate=40.0, starttime=UTCDateTime(1400000000.0)))])
+    p = str(tmp_path / "bad2.msd")
+    with pytest.raises(ValueError):
+        mseed.write_mseed(st, p, encoding="STEIM2")
 
 
 def test_gap_splits_traces(rng, tmp_path):
