@@ -122,8 +122,9 @@ def bench_scan(mode="subspace"):
         thresholds = np.full(1, 0.99, np.float32)
         # chunks per device call; the fold path amortizes per-op fixed
         # cost over the whole batch, so bigger is better until HBM caps it
-        B = max(1, int(round(64 / SUBSPACE_CHUNK_HOURS)))
-        iters = 4
+        # (measured: B=16 -> 16.3, B=64 -> 21.7, B=128 -> 27.3 st-d/s)
+        B = max(1, int(round(128 / SUBSPACE_CHUNK_HOURS)))
+        iters = 2
         n_data = 4
     # distinct inputs per iteration + a dependency chain between steps:
     # this backend can elide duplicate launches, so timing must force real,

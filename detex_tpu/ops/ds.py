@@ -510,22 +510,29 @@ def os_block_scan_batch(F, a, power, Ufd2, sum_u, d_mask, n_c, nc, blk_fft,
 
     powsafe = jnp.where(power == 0, jnp.inf, power)
     su = jnp.where(d_mask, sum_u, 0.0)
-    # row-major (chunk, detector) layout; window stats replicated per
-    # detector row (S is small on this path)
+    # row-major (chunk, detector) layout
     pad_w = m * W - out_len
     ap = jnp.pad(a, ((0, 0), (0, pad_w)))
     pp = jnp.pad(powsafe, ((0, 0), (0, pad_w)), constant_values=1.0)
-    ap = jnp.broadcast_to(ap[:, None, :], (B, S, m * W)).reshape(
-        B * S, m * W)
-    pp = jnp.broadcast_to(pp[:, None, :], (B, S, m * W)).reshape(
-        B * S, m * W)
     suf = jnp.broadcast_to(su[None], (B, S, Dmax)).reshape(B * S * Dmax)
-    nvr = jnp.broadcast_to(
-        jnp.asarray(nv, jnp.int32)[:, None], (B, S)).reshape(B * S)
     from detex_tpu.ops.pallas_kernels import ds_finalize_os_fold
-    ds, pyr, hist = ds_finalize_os_fold(
-        cb.reshape(B * S * Dmax, m, blk_fft), ap, pp, suf, nvr, D0, Dmax,
-        W, nbin=nbin)
+    if S % 8 == 0:
+        # grouped stats: each chunk's S detector rows share one stats row
+        # in the kernel (tiles never straddle chunks) — no replication
+        ds, pyr, hist = ds_finalize_os_fold(
+            cb.reshape(B * S * Dmax, m, blk_fft), ap, pp, suf,
+            jnp.asarray(nv, jnp.int32), D0, Dmax, W, nbin=nbin, group=S)
+    else:
+        # small-S path: replicate the window stats per detector row
+        apr = jnp.broadcast_to(ap[:, None, :], (B, S, m * W)).reshape(
+            B * S, m * W)
+        ppr = jnp.broadcast_to(pp[:, None, :], (B, S, m * W)).reshape(
+            B * S, m * W)
+        nvr = jnp.broadcast_to(
+            jnp.asarray(nv, jnp.int32)[:, None], (B, S)).reshape(B * S)
+        ds, pyr, hist = ds_finalize_os_fold(
+            cb.reshape(B * S * Dmax, m, blk_fft), apr, ppr, suf, nvr, D0,
+            Dmax, W, nbin=nbin)
     ds = ds.reshape(B, S, m * W)
     pyr = pyr.reshape(B, S, -1)
     if hist is not None:

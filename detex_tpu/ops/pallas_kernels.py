@@ -120,15 +120,16 @@ def _hist_kernel(ds_ref, kio_ref, out_ref, *, nbin):
     v = ds_ref[...]                                   # [st, T]
     idx = jnp.floor(v * nbin)
     idx = jnp.where(v == 1.0, nbin - 1.0, idx)        # right-inclusive
-    valid = (v >= 0.0) & (v <= 1.0)
+    # no explicit validity mask: out-of-range values can never match a
+    # bin index (pads -> negative coarse; v > 1 -> coarse >= g), so the
+    # equality tests exclude them for free
     coarse = jnp.floor(idx * (1.0 / g))
     fine = idx - coarse * g
     kio = kio_ref[...]                                # [g, 1] = 0..g-1
     # strictly 2-D ops: [1, T] row slices against the [g, 1] bin column
     # broadcast to [g, T] one-hots (Mosaic rejects 1-D reshapes)
     for s in range(v.shape[0]):                       # static unroll
-        A = ((coarse[s:s + 1, :] == kio) &
-             valid[s:s + 1, :]).astype(jnp.float32)   # [g, T]
+        A = (coarse[s:s + 1, :] == kio).astype(jnp.float32)  # [g, T]
         B = (fine[s:s + 1, :] == kio).astype(jnp.float32)
         cnt = jax.lax.dot_general(
             A, B, (((1,), (1,)), ((), ())),
@@ -222,13 +223,13 @@ def _finalize_os_scan_kernel(cb_ref, a_ref, power_ref, sum_u_ref, nv_ref,
         g = int(round(nbin ** 0.5))
         idx = jnp.floor(ds * nbin)
         idx = jnp.where(ds == 1.0, nbin - 1.0, idx)
-        valid = (ds >= 0.0) & (ds <= 1.0)
+        # out-of-range values (-inf pads, ds > 1) never match a bin index,
+        # so no explicit validity mask is needed
         coarse = jnp.floor(idx * (1.0 / g))
         fine = idx - coarse * g
         kio = kio_ref[...]              # [g, 1]
         for s in range(S):              # static unroll over tile rows
-            A = ((coarse[s:s + 1, :] == kio) &
-                 valid[s:s + 1, :]).astype(jnp.float32)
+            A = (coarse[s:s + 1, :] == kio).astype(jnp.float32)
             Bf = (fine[s:s + 1, :] == kio).astype(jnp.float32)
             cnt = jax.lax.dot_general(
                 A, Bf, (((1,), (1,)), ((), ())),
@@ -311,16 +312,18 @@ def _finalize_os_fold_kernel(cb_ref, a_ref, power_ref, sum_u_ref, nv_ref,
                                         # VMEM-resident across blocks)
     cb = cb_ref[...]                    # [st*D, blk]
     x = cb[:, head:head + W]
-    a = a_ref[...]                      # [st, W] per-row stats
-    power = power_ref[...]              # [st, W]
+    # stats arrive [st, W] (per-row) or [1, 1, W] (grouped, 3-D for tile
+    # legality) — normalize both to 2-D
+    a = a_ref[...].reshape(-1, W)
+    power = power_ref[...].reshape(-1, W)
     su = sum_u_ref[...]                 # [st*D, 1]
     st = out_ref.shape[0]
     xr = x.reshape(st, D, W)
-    y = xr - su.reshape(st, D, 1) * a.reshape(st, 1, W)
+    y = xr - su.reshape(st, D, 1) * a.reshape(a.shape[0], 1, W)
     y2 = (y * y).sum(axis=1)            # [st, W]
-    ds = y2 / power
+    ds = y2 / power                     # power broadcasts over st rows
     pos = i * W + jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    nv = nv_ref[...]                    # [st, 1] per-row valid counts
+    nv = nv_ref[...].reshape(-1, 1)     # [st, 1] per-row / [1, 1] grouped
     ds = jnp.where(pos < nv, ds, -jnp.inf)
     out_ref[...] = ds
     nb = W // 128
@@ -335,13 +338,13 @@ def _finalize_os_fold_kernel(cb_ref, a_ref, power_ref, sum_u_ref, nv_ref,
         g = int(round(nbin ** 0.5))
         idx = jnp.floor(ds * nbin)
         idx = jnp.where(ds == 1.0, nbin - 1.0, idx)
-        valid = (ds >= 0.0) & (ds <= 1.0)
+        # out-of-range values (-inf pads, ds > 1) never match a bin index,
+        # so no explicit validity mask is needed
         coarse = jnp.floor(idx * (1.0 / g))
         fine = idx - coarse * g
         kio = kio_ref[...]              # [g, 1]
         for s in range(st):             # static unroll
-            A = ((coarse[s:s + 1, :] == kio) &
-                 valid[s:s + 1, :]).astype(jnp.float32)
+            A = (coarse[s:s + 1, :] == kio).astype(jnp.float32)
             Bf = (fine[s:s + 1, :] == kio).astype(jnp.float32)
             cnt = jax.lax.dot_general(
                 A, Bf, (((1,), (1,)), ((), ())),
@@ -369,19 +372,24 @@ def fold_tile_rows(BS, D, blk):
 _FOLD_TILE_BUDGET = 3 * 1024 * 1024
 
 
-@partial(jax.jit, static_argnames=("head", "D", "W", "nbin", "interpret"))
+@partial(jax.jit, static_argnames=("head", "D", "W", "nbin", "group",
+                                   "interpret"))
 def ds_finalize_os_fold(cb, a, power, sum_u, nv, head, D, W, nbin=0,
-                        interpret=None):
+                        group=0, interpret=None):
     """
     Fold-batch variant of ds_finalize_os_scan: rows are (chunk, detector)
-    pairs (BS = B*S of them), with per-ROW window stats and valid lengths.
+    pairs (BS = B*S of them), with per-row OR per-chunk window stats.
 
     Parameters
     ----------
     cb : [BS*D, m, blk] raw overlap-save irfft blocks
-    a, power : [BS, m*W] per-row rolling stats (padded past out_len)
+    a, power : rolling stats (padded past out_len):
+        per-row mode (group=0): [BS, m*W]
+        grouped mode (group=S): [BS//S, m*W] — one stats row per chunk,
+        shared by that chunk's S consecutive detector rows (S must be a
+        multiple of 8 so tiles never straddle chunks)
     sum_u : [BS*D] basis sums (masked slots 0)
-    nv : [BS] int32 per-row valid DS sample counts
+    nv : int32 valid DS sample counts — [BS] per-row, or [BS//S] grouped
     head, D, W : aligned discard head, basis dim, block advance
     nbin : 0 = no histogram; else a perfect-square uniform bin count to
         accumulate per row inside the same pass (np.histogram floor rule,
@@ -402,10 +410,29 @@ def ds_finalize_os_fold(cb, a, power, sum_u, nv, head, D, W, nbin=0,
             interpret = True
     BSD, m, blk = cb.shape
     BS = BSD // D
-    assert a.shape == (BS, m * W) and power.shape == (BS, m * W)
     assert head % 128 == 0 and W % 128 == 0 and (W // 128) <= 128
     st = fold_tile_rows(BS, D, blk)
     assert st > 0, "caller must check fold_tile_rows first"
+    if group:
+        G = BS // group
+        assert a.shape == (G, m * W) and power.shape == (G, m * W)
+        assert group % 8 == 0 or group == BS, \
+            "grouped stats need tiles that never straddle chunks"
+        st = min(st, group)
+        assert group % st == 0
+        tpc = group // st               # row tiles per chunk
+        # 3-D layout so the (1, W) tile is Mosaic-legal for any G: the
+        # block's last two dims (1, W) equal/divide the array's (1, m*W)
+        a = a.reshape(G, 1, m * W)
+        power = power.reshape(G, 1, m * W)
+        a_shape, a_map = (1, 1, W), (lambda j, i: (j // tpc, 0, i))
+        n_shape, n_map = (1, 1, 1), (lambda j, i: (j // tpc, 0, 0))
+        nv_in = jnp.asarray(nv, jnp.int32).reshape(G, 1, 1)
+    else:
+        assert a.shape == (BS, m * W) and power.shape == (BS, m * W)
+        a_shape, a_map = (st, W), (lambda j, i: (j, i))
+        n_shape, n_map = (st, 1), (lambda j, i: (j, 0))
+        nv_in = jnp.asarray(nv, jnp.int32).reshape(BS, 1)
     g = int(round(nbin ** 0.5)) if nbin else 1
     if nbin:
         assert g * g == nbin, "nbin must be a perfect square"
@@ -418,11 +445,11 @@ def ds_finalize_os_fold(cb, a, power, sum_u, nv, head, D, W, nbin=0,
         in_specs=[
             pl.BlockSpec((st * D, blk), lambda j, i: (j, i),
                          memory_space=_VMEM),
-            pl.BlockSpec((st, W), lambda j, i: (j, i), memory_space=_VMEM),
-            pl.BlockSpec((st, W), lambda j, i: (j, i), memory_space=_VMEM),
+            pl.BlockSpec(a_shape, a_map, memory_space=_VMEM),
+            pl.BlockSpec(a_shape, a_map, memory_space=_VMEM),
             pl.BlockSpec((st * D, 1), lambda j, i: (j, 0),
                          memory_space=_VMEM),
-            pl.BlockSpec((st, 1), lambda j, i: (j, 0), memory_space=_VMEM),
+            pl.BlockSpec(n_shape, n_map, memory_space=_VMEM),
             pl.BlockSpec((g, 1), lambda j, i: (0, 0), memory_space=_VMEM),
         ],
         out_specs=[
@@ -437,8 +464,7 @@ def ds_finalize_os_fold(cb, a, power, sum_u, nv, head, D, W, nbin=0,
                    jax.ShapeDtypeStruct((BS, g, g), jnp.float32)],
         interpret=interpret,
     )(cb.reshape(BSD, m * blk), a, power,
-      jnp.asarray(sum_u).reshape(BSD, 1),
-      jnp.asarray(nv, jnp.int32).reshape(BS, 1), kio)
+      jnp.asarray(sum_u).reshape(BSD, 1), nv_in, kio)
     nb = W // 128
     pyr = bmax.reshape(BS, m, 128)[:, :, :nb].reshape(BS, m * nb)
     return ds, pyr, (hist.reshape(BS, nbin) if nbin else None)

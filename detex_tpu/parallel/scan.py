@@ -162,7 +162,11 @@ def _ds_of(x, arrs, demux, n_c, nc, nfft):
     return _ds.ds_bank(x, arrs[0], arrs[1], arrs[2], n_c, nc, nfft)
 
 
-TEMPLATE_BLOCK = 128  # S-axis block bounding the per-chunk HBM footprint
+# S-axis block bounding the per-chunk HBM footprint (env-overridable for
+# perf sweeps; every block iteration costs ~25 fixed-overhead op
+# executions on this backend, so fewer/bigger blocks can win when HBM
+# allows)
+TEMPLATE_BLOCK = int(os.environ.get("DETEX_TPU_TEMPLATE_BLOCK", "128"))
 
 # above this DS length the trigger extractor switches to the block-max
 # pyramid (same outputs; the flat scan's [S, L] carry dominates HBM traffic
@@ -326,6 +330,87 @@ def _scan_chunks_fold_jit(X, NV, arrs, thresholds, n_c, nc, blk_fft,
                            buff_samps, max_trig, S, calc_hist, uniform_nbin)
 
 
+def _fold_scan_blocked_ok(bank, st, X, bins_uniform_nbin):
+    """Route large (template-blocked) banks to the fold-batch path when
+    the per-template-block fold is supported: the chunk batch folds into
+    each op while lax.map runs over template blocks only."""
+    if st["demux"] != "os" or st["S"] <= TEMPLATE_BLOCK:
+        return False
+    if not bins_uniform_nbin:
+        return False
+    B = int(X.shape[0])
+    Dmax = int(bank["Dmax"])
+    L_c = int(X.shape[1]) // st["nc"]
+    _, _, _, W, m = _ds._os_geometry(L_c, st["n_c"], st["nfft"])
+    if B * TEMPLATE_BLOCK * Dmax * m * st["nfft"] * 4 > (2 << 30):
+        return False
+    return _ds.fold_scan_supported(B, TEMPLATE_BLOCK, Dmax, st["n_c"],
+                                   st["nfft"])
+
+
+def _fold_chunks_blocked_fn(X, NV, arrs, thresholds, n_c, nc, blk_fft,
+                            buff_samps, max_trig, S, calc_hist,
+                            uniform_nbin):
+    """Fold-batch scan for template-blocked banks: the chunk-shared prep
+    runs once for the whole batch, then lax.map over template blocks,
+    each block processing ALL chunks with folded ops (per-chunk grouped
+    stats in the Pallas finalize — no lax.map over chunks at all)."""
+    B = X.shape[0]
+    L_c = X.shape[1] // nc
+    F, a, power = _ds.os_prep_batch(X, n_c, nc, blk_fft)
+    nbin = uniform_nbin if calc_hist else 0
+    SB = arrs[2].shape[1]
+
+    def one_block(args):
+        Ufd2, su, dm, th = args
+        ds, pyr, hist = _ds.os_block_scan_batch(
+            F, a, power, Ufd2, su, dm, n_c, nc, blk_fft, L_c, NV,
+            nbin=nbin)
+        maxds = pyr.max(axis=-1)                      # [B, SB]
+        if calc_hist:
+            h = hist.sum(axis=0).astype(jnp.int32)    # [SB, nbin]
+        else:
+            h = jnp.zeros((SB, uniform_nbin), jnp.int32)
+        dsf = ds.reshape(B * SB, -1)
+        pyrf = pyr.reshape(B * SB, -1)
+        thf = jnp.broadcast_to(th[None, :], (B, SB)).reshape(B * SB)
+
+        def trig_one(v, pm, t):
+            idx, cnt = _triggers.extract_triggers_pyramid_pm(
+                v, pm, t, buff_samps, max_triggers=max_trig)
+            vals = jnp.where(idx >= 0, v[jnp.clip(idx, 0, v.shape[0] - 1)],
+                             jnp.nan)
+            return idx, vals, cnt
+
+        tidx, tval, tcnt = jax.vmap(trig_one)(dsf, pyrf, thf)
+        K = tidx.shape[-1]
+        return (h, maxds, tidx.reshape(B, SB, K), tval.reshape(B, SB, K),
+                tcnt.reshape(B, SB))
+
+    hist, maxds, tidx, tval, tcnt = jax.lax.map(
+        one_block, arrs + (thresholds,))
+    hist = hist.reshape(-1, hist.shape[-1])[:S]       # [S, nbin]
+
+    def catb(x):
+        # [nB, B, SB, ...] -> [B, nB*SB, ...][:, :S]
+        x = jnp.moveaxis(x, 0, 1)
+        x = x.reshape((x.shape[0], -1) + x.shape[3:])
+        return x[:, :S]
+
+    return hist, catb(maxds), catb(tidx), catb(tval), catb(tcnt)
+
+
+@partial(jax.jit, static_argnames=("n_c", "nc", "blk_fft", "buff_samps",
+                                   "max_trig", "S", "calc_hist",
+                                   "uniform_nbin"))
+def _scan_chunks_fold_blocked_jit(X, NV, arrs, thresholds, n_c, nc,
+                                  blk_fft, buff_samps, max_trig, S,
+                                  calc_hist=True, uniform_nbin=0):
+    return _fold_chunks_blocked_fn(X, NV, arrs, thresholds, n_c, nc,
+                                   blk_fft, buff_samps, max_trig, S,
+                                   calc_hist, uniform_nbin)
+
+
 @partial(jax.jit, static_argnames=("demux", "n_c", "nc", "nfft",
                                    "buff_samps", "max_trig", "S",
                                    "calc_hist", "uniform_nbin"))
@@ -383,6 +468,12 @@ def scan_chunks(X, bank, thresholds, nc, buff_samps, bins=None, max_trig=64,
         return _scan_chunks_fold_jit(
             jnp.asarray(X, jnp.float32), jnp.asarray(nv),
             _bank_arrays(bank), jnp.asarray(thresholds, jnp.float32),
+            st["n_c"], st["nc"], st["nfft"], int(buff_samps),
+            int(max_trig), st["S"], bool(calc_hist), unb)
+    if _fold_scan_blocked_ok(bank, st, X, unb):
+        return _scan_chunks_fold_blocked_jit(
+            jnp.asarray(X, jnp.float32), jnp.asarray(nv),
+            _bank_arrays(bank), _blocked_thresholds(bank, thresholds),
             st["n_c"], st["nc"], st["nfft"], int(buff_samps),
             int(max_trig), st["S"], bool(calc_hist), unb)
     return _scan_chunks_jit(jnp.asarray(X, jnp.float32), jnp.asarray(nv),

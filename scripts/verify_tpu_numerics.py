@@ -135,8 +135,11 @@ def main():
     for flag in ("1", "0"):
         os.environ["DETEX_TPU_PALLAS"] = flag
         pscan._scan_chunks_jit.clear_cache()
+        # B=2: exercises the grouped-stats (per-chunk) fold layout, which
+        # has different tile legality than the B=1 case
         h, mx, ti, tv, tc = pscan.scan_chunks(
-            X2[:1], bank_big, thb, nc, 200, max_trig=4)
+            X2, bank_big, thb, nc, 200, max_trig=4,
+            valid_lens=[Lc, Lc - 5000])
         outs_big[flag] = (np.asarray(h), np.asarray(mx), np.asarray(ti),
                          np.asarray(tc))
     os.environ.pop("DETEX_TPU_PALLAS", None)

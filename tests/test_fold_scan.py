@@ -104,6 +104,46 @@ def test_fold_scan_sharded_matches_single(pallas_env):
                            atol=2e-5)
 
 
+def test_fold_scan_blocked_matches_per_chunk_path(pallas_env):
+    """Template-blocked (network-path) fold: S > TEMPLATE_BLOCK banks fold
+    the chunk batch with per-chunk grouped stats; outputs must match the
+    per-chunk lax.map path."""
+    rng = np.random.default_rng(9)
+    nc, n_c, Lc = 3, 30, 9000
+    n = n_c * nc
+    S = pscan.TEMPLATE_BLOCK + 8
+    T = rng.standard_normal((S, n))
+    U_list = [np.ascontiguousarray((t / np.linalg.norm(t))[None, :])
+              for t in T]
+    bank = dsops.build_bank(U_list, nc, Lc, prefer_os=True)
+    assert bank.get("os")
+    th = np.full(S, 0.3, np.float32)
+    B = 4   # > 1: the grouped-stats tile layout must stay Mosaic-legal
+    X = rng.standard_normal((B, Lc)).astype(np.float32)
+    lens = [Lc, Lc - 900, Lc - 300, Lc]
+    for i, L in enumerate(lens):
+        X[i, L:] = 0.0
+    st = pscan._bank_statics(bank, nc)
+    assert not pscan._fold_scan_ok(bank, st, X, True, 400)
+    assert pscan._fold_scan_blocked_ok(bank, st, X, 400)
+    fold = pscan.scan_chunks(X, bank, th, nc, buff_samps=50, max_trig=4,
+                             valid_lens=lens)
+    os.environ["DETEX_TPU_PALLAS"] = "0"
+    try:
+        base = pscan.scan_chunks(X, bank, th, nc, buff_samps=50,
+                                 max_trig=4, valid_lens=lens)
+    finally:
+        os.environ["DETEX_TPU_PALLAS"] = "1"
+    hist_f, maxds_f, tidx_f, tval_f, tcnt_f = map(np.asarray, fold)
+    hist_b, maxds_b, tidx_b, tval_b, tcnt_b = map(np.asarray, base)
+    assert hist_f.shape == hist_b.shape == (S, 400)
+    assert np.array_equal(hist_f, hist_b)
+    assert maxds_f.shape == maxds_b.shape == (B, S)
+    assert np.allclose(maxds_f, maxds_b, atol=2e-5)
+    assert np.array_equal(tidx_f, tidx_b)
+    assert np.array_equal(tcnt_f, tcnt_b)
+
+
 def test_finalize_os_fold_hist_matches_np(pallas_env):
     """The fused histogram must equal np.histogram's floor-rule counting
     over the valid DS samples (invalid/-inf positions excluded)."""
