@@ -132,10 +132,26 @@ def _ct_core(zr, zi, n, inverse):
     return xr.reshape(lead + (n,)), xi.reshape(lead + (n,))
 
 
+def _use_pallas_dft():
+    """Pallas CT kernels on real TPU backends (DETEX_TPU_PALLAS_DFT=0/1
+    overrides; follows DETEX_TPU_PALLAS otherwise)."""
+    env = os.environ.get("DETEX_TPU_PALLAS_DFT")
+    if env is not None:
+        return env != "0"
+    from detex_tpu.ops.ds import _use_pallas
+    return _use_pallas()
+
+
 @partial(jax.jit, static_argnames=("n",))
 def irfft_ct(spec, n):
     """== jnp.fft.irfft(spec, n, axis=-1) for power-of-two n via two MXU
-    matmul stages. spec [..., n//2 + 1] complex."""
+    matmul stages. spec [..., n//2 + 1] complex.
+
+    On TPU the two stages run inside ONE Pallas kernel with VMEM-resident
+    intermediates (the XLA formulation materializes the hermitian
+    extension, two transposes and four matmul results in HBM per stage —
+    measured as the dominant HBM traffic of the overlap-save bank scan).
+    """
     R = n // 2 + 1
     assert spec.shape[-1] == R
     sr = jnp.real(spec)
@@ -143,6 +159,13 @@ def irfft_ct(spec, n):
     # hermitian extension: Z[n-k] = conj(Z[k]), k = 1..n/2-1
     zr = jnp.concatenate([sr, sr[..., -2:0:-1]], axis=-1)
     zi = jnp.concatenate([si, -si[..., -2:0:-1]], axis=-1)
+    n1, n2 = _split(n)
+    if n1 == 128 and n <= 32768 and _use_pallas_dft():
+        lead = zr.shape[:-1]
+        N = int(np.prod(lead)) if lead else 1
+        from detex_tpu.ops.pallas_kernels import irfft_ct_fused
+        out = irfft_ct_fused(zr.reshape(N, n), zi.reshape(N, n), n)
+        return out.reshape(lead + (n,))
     xr, _ = _ct_core(zr, zi, n, inverse=True)
     return xr * (1.0 / n)
 
@@ -150,11 +173,20 @@ def irfft_ct(spec, n):
 @partial(jax.jit, static_argnames=("n",))
 def rfft_ct(x, n):
     """== jnp.fft.rfft(x, n, axis=-1) for power-of-two n (input is
-    zero-padded/truncated to length n like jnp.fft.rfft)."""
+    zero-padded/truncated to length n like jnp.fft.rfft). On TPU the two
+    matmul stages run fused in one Pallas kernel (see irfft_ct)."""
     L = x.shape[-1]
     if L < n:
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - L)])
     elif L > n:
         x = x[..., :n]
+    n1, n2 = _split(n)
+    if n1 == 128 and n <= 32768 and _use_pallas_dft():
+        lead = x.shape[:-1]
+        N = int(np.prod(lead)) if lead else 1
+        from detex_tpu.ops.pallas_kernels import rfft_ct_fused
+        fr, fi = rfft_ct_fused(x.reshape(N, n), n)
+        R = n // 2 + 1
+        return jax.lax.complex(fr[:, :R], fi[:, :R]).reshape(lead + (R,))
     xr, xi = _ct_core(x, jnp.zeros_like(x), n, inverse=False)
     return jax.lax.complex(xr[..., :n // 2 + 1], xi[..., :n // 2 + 1])

@@ -18,6 +18,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 
 try:  # TPU memory spaces; fall back gracefully off-TPU
@@ -173,6 +174,167 @@ def hist_uniform(ds, nbin=400, tile=2048, interpret=False):
         interpret=interpret,
     )(dsp, kio)
     return out.reshape(S, nbin)
+
+
+def _irfft_ct_kernel(zr_ref, zi_ref, w2r_ref, w2i_ref, twr_ref, twi_ref,
+                     w1rt_ref, w1it_ref, out_ref, *, n1, n2, prec):
+    """One fused Cooley-Tukey inverse transform pass: both matmul stages,
+    the twiddle, and the real-part extraction run on VMEM-resident tiles
+    (ops/dft.py decomposition; Z is the pre-built hermitian extension).
+
+    Layout walk (n = n1*n2, k = k1 + n1*k2, t = n2*t1 + t2):
+      z [st, n] -> [st, k2, k1] -> swap -> [st, k1, k2]
+      stage 1 (contract k2):   A[st*k1, t2] = Z @ W2
+      twiddle:                 B = A * tw[k1, t2]
+      swap to [st, t2, k1]; stage 2 (contract k1, REAL part only):
+      xT[st*t2, t1] = Br @ W1r^T - Bi @ W1i^T
+      swap back -> [st, t1, t2] -> [st, n], scale 1/n.
+    """
+    st = out_ref.shape[0]
+    dot = partial(jax.lax.dot_general,
+                  dimension_numbers=(((1,), (0,)), ((), ())),
+                  preferred_element_type=jnp.float32, precision=prec)
+    zr = zr_ref[...].reshape(st, n2, n1)
+    zi = zi_ref[...].reshape(st, n2, n1)
+    zr = jnp.swapaxes(zr, 1, 2).reshape(st * n1, n2)   # [st*k1, k2]
+    zi = jnp.swapaxes(zi, 1, 2).reshape(st * n1, n2)
+    w2r = w2r_ref[...]
+    w2i = w2i_ref[...]
+    ar = dot(zr, w2r) - dot(zi, w2i)                   # [st*k1, t2]
+    ai = dot(zr, w2i) + dot(zi, w2r)
+    twr = twr_ref[...]                                 # [k1, t2]
+    twi = twi_ref[...]
+    ar3 = ar.reshape(st, n1, n2)
+    ai3 = ai.reshape(st, n1, n2)
+    br = ar3 * twr - ai3 * twi
+    bi = ar3 * twi + ai3 * twr
+    br = jnp.swapaxes(br, 1, 2).reshape(st * n2, n1)   # [st*t2, k1]
+    bi = jnp.swapaxes(bi, 1, 2).reshape(st * n2, n1)
+    # real part of W1 @ B, transposed: xT = Br W1r^T - Bi W1i^T
+    xr = dot(br, w1rt_ref[...]) - dot(bi, w1it_ref[...])  # [st*t2, t1]
+    xr = jnp.swapaxes(xr.reshape(st, n2, n1), 1, 2)       # [st, t1, t2]
+    out_ref[...] = xr.reshape(st, n1 * n2) * (1.0 / (n1 * n2))
+
+
+@partial(jax.jit, static_argnames=("n", "interpret"))
+def irfft_ct_fused(zr, zi, n, interpret=None):
+    """Fused-stage matmul inverse DFT of the hermitian-extended spectrum:
+    zr/zi [N, n] -> real output [N, n] == jnp.fft.irfft of the original
+    [N, n//2+1] spectrum. Requires n1 == 128 (ops/dft._split)."""
+    if interpret is None:
+        try:
+            interpret = jax.default_backend() != "tpu"
+        except Exception:  # pragma: no cover
+            interpret = True
+    from detex_tpu.ops import dft as _dft
+    n1, n2 = _dft._split(n)
+    assert n1 == 128, "fused CT kernel requires n1 == 128"
+    (w2r, w2i), (twr, twi), (w1r, w1i) = _dft._ct_mats(n, True)
+    prec = _dft._precision()
+    N = zr.shape[0]
+    st = 8
+    Np = (N + st - 1) // st * st
+    if Np != N:
+        zr = jnp.pad(zr, ((0, Np - N), (0, 0)))
+        zi = jnp.pad(zi, ((0, Np - N), (0, 0)))
+    const = lambda j: (0, 0)                              # noqa: E731
+    cspec = [pl.BlockSpec(w2r.shape, const, memory_space=_VMEM),
+             pl.BlockSpec(w2i.shape, const, memory_space=_VMEM),
+             pl.BlockSpec(twr.shape, const, memory_space=_VMEM),
+             pl.BlockSpec(twi.shape, const, memory_space=_VMEM),
+             pl.BlockSpec(w1r.T.shape, const, memory_space=_VMEM),
+             pl.BlockSpec(w1i.T.shape, const, memory_space=_VMEM)]
+    out = pl.pallas_call(
+        partial(_irfft_ct_kernel, n1=n1, n2=n2, prec=prec),
+        grid=(Np // st,),
+        in_specs=[pl.BlockSpec((st, n), lambda j: (j, 0),
+                               memory_space=_VMEM),
+                  pl.BlockSpec((st, n), lambda j: (j, 0),
+                               memory_space=_VMEM)] + cspec,
+        out_specs=pl.BlockSpec((st, n), lambda j: (j, 0),
+                               memory_space=_VMEM),
+        out_shape=jax.ShapeDtypeStruct((Np, n), jnp.float32),
+        interpret=interpret,
+    )(zr, zi, jnp.asarray(w2r), jnp.asarray(w2i), jnp.asarray(twr),
+      jnp.asarray(twi), jnp.asarray(np.ascontiguousarray(w1r.T)),
+      jnp.asarray(np.ascontiguousarray(w1i.T)))
+    return out[:N]
+
+
+def _rfft_ct_kernel(x_ref, w2r_ref, w2i_ref, twr_ref, twi_ref, w1rt_ref,
+                    w1it_ref, or_ref, oi_ref, *, n1, n2, prec):
+    """Forward twin of _irfft_ct_kernel for REAL input (zi == 0: stage 1
+    needs only two matmuls). Emits the full-width complex spectrum as a
+    (real, imag) pair; the caller slices to n//2+1."""
+    st = or_ref.shape[0]
+    dot = partial(jax.lax.dot_general,
+                  dimension_numbers=(((1,), (0,)), ((), ())),
+                  preferred_element_type=jnp.float32, precision=prec)
+    x = x_ref[...].reshape(st, n2, n1)
+    x = jnp.swapaxes(x, 1, 2).reshape(st * n1, n2)     # [st*k1, k2]
+    ar = dot(x, w2r_ref[...])                          # [st*k1, t2]
+    ai = dot(x, w2i_ref[...])
+    twr = twr_ref[...]
+    twi = twi_ref[...]
+    ar3 = ar.reshape(st, n1, n2)
+    ai3 = ai.reshape(st, n1, n2)
+    br = ar3 * twr - ai3 * twi
+    bi = ar3 * twi + ai3 * twr
+    br = jnp.swapaxes(br, 1, 2).reshape(st * n2, n1)   # [st*t2, k1]
+    bi = jnp.swapaxes(bi, 1, 2).reshape(st * n2, n1)
+    w1rt = w1rt_ref[...]
+    w1it = w1it_ref[...]
+    xr = dot(br, w1rt) - dot(bi, w1it)                 # [st*t2, t1]
+    xi = dot(br, w1it) + dot(bi, w1rt)
+    xr = jnp.swapaxes(xr.reshape(st, n2, n1), 1, 2)
+    xi = jnp.swapaxes(xi.reshape(st, n2, n1), 1, 2)
+    or_ref[...] = xr.reshape(st, n1 * n2)
+    oi_ref[...] = xi.reshape(st, n1 * n2)
+
+
+@partial(jax.jit, static_argnames=("n", "interpret"))
+def rfft_ct_fused(x, n, interpret=None):
+    """Fused-stage matmul forward DFT of real input x [N, n] (pre-padded):
+    returns (fr, fi) [N, n] full-width; fr[:, :n//2+1] + i*fi[:, :n//2+1]
+    == jnp.fft.rfft(x, n). Requires n1 == 128."""
+    if interpret is None:
+        try:
+            interpret = jax.default_backend() != "tpu"
+        except Exception:  # pragma: no cover
+            interpret = True
+    from detex_tpu.ops import dft as _dft
+    n1, n2 = _dft._split(n)
+    assert n1 == 128, "fused CT kernel requires n1 == 128"
+    (w2r, w2i), (twr, twi), (w1r, w1i) = _dft._ct_mats(n, False)
+    prec = _dft._precision()
+    N = x.shape[0]
+    st = 8
+    Np = (N + st - 1) // st * st
+    if Np != N:
+        x = jnp.pad(x, ((0, Np - N), (0, 0)))
+    const = lambda j: (0, 0)                              # noqa: E731
+    cspec = [pl.BlockSpec(w2r.shape, const, memory_space=_VMEM),
+             pl.BlockSpec(w2i.shape, const, memory_space=_VMEM),
+             pl.BlockSpec(twr.shape, const, memory_space=_VMEM),
+             pl.BlockSpec(twi.shape, const, memory_space=_VMEM),
+             pl.BlockSpec(w1r.T.shape, const, memory_space=_VMEM),
+             pl.BlockSpec(w1i.T.shape, const, memory_space=_VMEM)]
+    fr, fi = pl.pallas_call(
+        partial(_rfft_ct_kernel, n1=n1, n2=n2, prec=prec),
+        grid=(Np // st,),
+        in_specs=[pl.BlockSpec((st, n), lambda j: (j, 0),
+                               memory_space=_VMEM)] + cspec,
+        out_specs=[pl.BlockSpec((st, n), lambda j: (j, 0),
+                                memory_space=_VMEM),
+                   pl.BlockSpec((st, n), lambda j: (j, 0),
+                                memory_space=_VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((Np, n), jnp.float32),
+                   jax.ShapeDtypeStruct((Np, n), jnp.float32)],
+        interpret=interpret,
+    )(x, jnp.asarray(w2r), jnp.asarray(w2i), jnp.asarray(twr),
+      jnp.asarray(twi), jnp.asarray(np.ascontiguousarray(w1r.T)),
+      jnp.asarray(np.ascontiguousarray(w1i.T)))
+    return fr[:N], fi[:N]
 
 
 def _finalize_os_kernel(cb_ref, a_ref, power_ref, sum_u_ref, out_ref, *,

@@ -79,3 +79,40 @@ def test_xcorr_pairs_with_matmul_fft(rng, monkeypatch):
     assert np.array_equal(lag0[iu, ju], lag1[iu, ju])
     assert np.allclose(sub0[iu, ju], sub1[iu, ju], atol=1e-4,
                        equal_nan=True)
+
+
+def test_fused_pallas_irfft_matches_fft(rng, monkeypatch):
+    """The one-kernel Pallas CT inverse (VMEM-resident stages) must match
+    jnp.fft.irfft; interpret mode off-TPU."""
+    import jax.numpy as jnp
+    from detex_tpu.ops import dft
+    monkeypatch.setenv("DETEX_TPU_PALLAS_DFT", "1")
+    dft.irfft_ct.clear_cache()
+    try:
+        for n in (16384, 32768):
+            R = n // 2 + 1
+            spec = (rng.standard_normal((5, R)) +
+                    1j * rng.standard_normal((5, R))).astype(np.complex64)
+            want = np.fft.irfft(spec, n, axis=-1)
+            got = np.asarray(dft.irfft_ct(jnp.asarray(spec), n))
+            rel = np.abs(got - want).max() / np.abs(want).max()
+            assert rel < 1e-5
+    finally:
+        dft.irfft_ct.clear_cache()
+
+
+def test_fused_pallas_rfft_matches_fft(rng, monkeypatch):
+    import jax.numpy as jnp
+    from detex_tpu.ops import dft
+    monkeypatch.setenv("DETEX_TPU_PALLAS_DFT", "1")
+    dft.rfft_ct.clear_cache()
+    try:
+        n = 16384
+        x = rng.standard_normal((3, 2, n - 57)).astype(np.float32)
+        want = np.fft.rfft(x, n, axis=-1)
+        got = np.asarray(dft.rfft_ct(jnp.asarray(x), n))
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert got.shape == want.shape
+        assert rel < 1e-5
+    finally:
+        dft.rfft_ct.clear_cache()
