@@ -24,7 +24,6 @@ from detex_tpu.core.utc import UTCDateTime
 from detex_tpu.ops import ds as _ds
 from detex_tpu.ops import stalta as _stalta
 from detex_tpu.ops import triggers as _triggers
-from detex_tpu.ops import xcorr as _xcorr
 
 MAX_TRIGGERS = 4096  # reference kill switch at 4000 (detect.py:433-436)
 
@@ -736,18 +735,20 @@ class _SSDetex(object):
                               "detection at %s on station %s and %s"
                               % (times, sta, name), level="warning")
                 return np.nan, np.nan, SNR
-            if self.dtype == "double":
-                # host float64 single-lag normalized correlation (the
-                # dtype='double' exact path; same math as normcorr_bank)
-                W = np.asarray(ewf, np.float64)
-                wflen = W.shape[1]
-                NT = (W - W.mean(axis=1, keepdims=True)) / \
-                    (W.std(axis=1, keepdims=True) * wflen)
-                eventCors = (NT @ ConDat - NT.sum(axis=1) * ConDat.mean()) \
-                    / ConDat.std()
-            else:
-                ecor = _xcorr.normcorr_bank(np.asarray(ewf), ConDat)[:, 0]
-                eventCors = np.asarray(ecor)
+            # host single-lag normalized correlation for BOTH dtypes: the
+            # per-event dot products are ~1e4 MACs — a device call here is
+            # pure round-trip overhead, and at dense detection rates (one
+            # call per trigger) it dominated end-to-end runs. float64 on
+            # the 'double' exact path, float32 otherwise (same math as
+            # ops/xcorr.normcorr_bank).
+            ftype = np.float64 if self.dtype == "double" else np.float32
+            W = np.asarray(ewf, ftype)
+            cd = np.asarray(ConDat, ftype)
+            wflen = W.shape[1]
+            NT = (W - W.mean(axis=1, keepdims=True)) / \
+                (W.std(axis=1, keepdims=True) * wflen)
+            eventCors = (NT @ cd - NT.sum(axis=1) * cd.mean()) \
+                / cd.std()
             peMag = _estPEMag(mags, proEn, eventCors, touse)
             stMag = _estSTDMag(mags, ConDat, ewf, eventCors, touse)
         else:

@@ -670,9 +670,26 @@ def run_bank_batch(x_list, bank, nc):
         lens.append(L)
     Xd = jnp.asarray(X)
     if bank.get("os"):
-        out = _ds_map_demux_os(Xd, bank["Ufd2"], bank["sum_u"],
-                               bank["d_mask"], bank["n_c"], int(nc),
-                               bank["blk_fft"])
+        Dmax = int(bank["Dmax"])
+        S = int(bank["sum_u"].shape[0])
+        L_c = pad_len // int(nc)
+        _, _, _, W_, m_ = _os_geometry(L_c, bank["n_c"], bank["blk_fft"])
+        fold_ok = (fold_scan_supported(B, S, Dmax, bank["n_c"],
+                                       bank["blk_fft"])
+                   and B * S * Dmax * m_ * bank["blk_fft"] * 4 <= (2 << 30))
+        if fold_ok:
+            # fold-batch path (see os_prep_batch): one op instance per
+            # stage for the whole chunk batch instead of lax.map
+            nv = jnp.asarray([(L - n) // int(nc) + 1 for L in lens],
+                             jnp.int32)
+            out = _run_bank_batch_fold(Xd, nv, bank["Ufd2"],
+                                       bank["sum_u"], bank["d_mask"],
+                                       bank["n_c"], int(nc),
+                                       bank["blk_fft"])
+        else:
+            out = _ds_map_demux_os(Xd, bank["Ufd2"], bank["sum_u"],
+                                   bank["d_mask"], bank["n_c"], int(nc),
+                                   bank["blk_fft"])
     elif bank.get("demux"):
         out = _ds_map_demux(Xd, bank["Ufd2"], bank["sum_u"],
                             bank["d_mask"], bank["n_c"], int(nc),
@@ -686,6 +703,14 @@ def run_bank_batch(x_list, bank, nc):
         n_valid = (L - n) // int(nc) + 1
         res.append(out[i, :, :max(n_valid, 0)])
     return res
+
+
+@partial(jax.jit, static_argnames=("n_c", "nc", "blk_fft"))
+def _run_bank_batch_fold(X, nv, Ufd2, sum_u, d_mask, n_c, nc, blk_fft):
+    F, a, power = os_prep_batch(X, n_c, nc, blk_fft)
+    ds, _, _ = os_block_scan_batch(F, a, power, Ufd2, sum_u, d_mask, n_c,
+                                   nc, blk_fft, X.shape[1] // nc, nv)
+    return ds                      # [B, S, m*W]; caller slices n_valid
 
 
 @partial(jax.jit, static_argnames=("n_c", "nc", "nfft2"))

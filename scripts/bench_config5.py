@@ -58,7 +58,10 @@ def main():
 
     t0 = time.perf_counter()
     cfetch = getdata.DataFetcher("dir", directoryName=paths["conDir"])
-    ss = detex_tpu.createSubSpace(Pf=1e-9, clust=clust, minEvents=2,
+    # Pf=1e-12 = the reference default (construct.py:177); at 94 noise
+    # templates x 22 station-days a looser Pf floods the run with
+    # statistically-expected false alarms
+    ss = detex_tpu.createSubSpace(Pf=1e-12, clust=clust, minEvents=2,
                                   conDatFetcher=cfetch)
     ss.attachPickTimes(pksFile=paths["phaseKey"], defaultDuration=20)
     ss.SVD(selectCriteria=2, selectValue=0.9, conDatNum=4,

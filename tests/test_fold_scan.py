@@ -172,3 +172,25 @@ def test_finalize_os_fold_hist_matches_np(pallas_env):
             np.pad(ds[r], (0, 0)).reshape(-1, 128).max(axis=1),
             -np.inf))
         assert (ds[r, nv[r]:] == -np.inf).all()
+
+
+def test_run_bank_batch_fold_matches_map(pallas_env):
+    """run_bank_batch (FAS path) routes OS banks through the fold scan;
+    values must match the per-chunk lax.map path on the valid region."""
+    rng = np.random.default_rng(11)
+    nc, Lc = 3, 9000
+    bank, _ = _mk_bank(rng, nc=nc, Lc=Lc)
+    xs = [rng.standard_normal(Lc).astype(np.float32),
+          rng.standard_normal(Lc - 600).astype(np.float32),
+          rng.standard_normal(Lc - 1500).astype(np.float32)]
+    got = dsops.run_bank_batch(xs, bank, nc)
+    os.environ["DETEX_TPU_PALLAS"] = "0"
+    try:
+        want = dsops.run_bank_batch(xs, bank, nc)
+    finally:
+        os.environ["DETEX_TPU_PALLAS"] = "1"
+    assert len(got) == len(want) == 3
+    for g, w in zip(got, want):
+        assert g.shape == w.shape
+        assert np.abs(g - w).max() < 2e-5
+        assert np.isfinite(g).all()
