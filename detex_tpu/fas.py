@@ -36,6 +36,9 @@ def _initFAS(TRDF, conDatNum, cluster, fetcher, LTATime=5, STATime=0.5,
     results = [{} for _ in range(len(TRDF))]
     histBins = np.linspace(-.01, 1, num=numBins)
     conLen = fetcher.conDatDuration + fetcher.conBuff
+
+    # load every row's detector matrix up front
+    rows = []
     for ind, row in TRDF.iterrows():
         results[ind]["bins"] = histBins
         if issubspace:
@@ -44,8 +47,20 @@ def _initFAS(TRDF, conDatNum, cluster, fetcher, LTATime=5, STATime=0.5,
             U, Nc, sr = _loadMPSingles(row)
         if reverseTemplates:
             U = np.ascontiguousarray(U[:, ::-1])
-        bank = _ds.build_bank([U], Nc, int(conLen * sr * Nc))
-        sta = row.Station.split(".")[1]
+        rows.append((ind, row, U, int(Nc), float(sr)))
+
+    # group rows per (station, Nc, sr): the random-chunk sampler is
+    # deterministic (data/fetcher._divideIntoChunks seed), so every row of
+    # a station draws the SAME null chunks — the reference re-fetched,
+    # re-filtered and re-screened them once PER DETECTOR (fas.py:23-117);
+    # here the chunks are collected once and the whole detector group is
+    # scanned with banked device calls
+    by_sta = {}
+    for ent in rows:
+        key = (ent[1].Station, ent[3], ent[4])
+        by_sta.setdefault(key, []).append(ent)
+    for (sta_full, Nc, sr), ents in by_sta.items():
+        sta = sta_full.split(".")[1]
         stakey = cluster.stakey[cluster.stakey.STATION == sta]
         utc1 = UTCDateTime(stakey.iloc[0].STARTTIME) if utcstart is None \
             else UTCDateTime(utcstart)
@@ -53,9 +68,9 @@ def _initFAS(TRDF, conDatNum, cluster, fetcher, LTATime=5, STATime=0.5,
             else UTCDateTime(utcend)
         filt = cluster.filt
         deci = cluster.decimate
-        dsvec, count, scount = _getDSVect(
+        accepted, count, scount = _collectChunks(
             fetcher, stakey, utc1, utc2, filt, deci, dtype, conDatNum, Nc,
-            bank, STATime, LTATime, staltalimit)
+            STATime, LTATime, staltalimit)
         if scount < conDatNum:
             # scount = chunks that survived screening; count = chunks tried
             detex_tpu.log(__name__, "only %d of the requested %d null "
@@ -67,30 +82,48 @@ def _initFAS(TRDF, conDatNum, cluster, fetcher, LTATime=5, STATime=0.5,
             detex_tpu.log(__name__, "sta/lta req of %s failing on station "
                           "%s, dropping sta/lta requirement"
                           % (staltalimit, sta), level="warning", pri=True)
-            dsvec, count, scount = _getDSVect(
+            accepted, count, scount = _collectChunks(
                 fetcher, stakey, utc1, utc2, filt, deci, dtype, conDatNum,
-                Nc, bank, STATime, LTATime, None)
-        if len(dsvec) == 0:
+                Nc, STATime, LTATime, None)
+        if len(accepted) == 0:
             detex_tpu.log(__name__, "Could not calculate FAS for %s %s"
-                          % (row.Station, row.Name), level="error")
-        dss = np.concatenate(dsvec).astype(
-            np.float64 if dtype == "double" else np.float32)
-        results[ind]["hist"] = np.histogram(dss, bins=histBins)[0]
-        betaparams = scipy.stats.beta.fit(np.clip(dss, 1e-12, 1 - 1e-12),
-                                          floc=0, fscale=1)
-        results[ind]["betadist"] = betaparams
-        results[ind]["nnlf"] = scipy.stats.beta.nnlf(
-            betaparams, np.clip(dss, 1e-12, 1 - 1e-12))
-        # normal-distribution null, carried by the reference's legacy
-        # matched-filter engine (extras/xcorr.py trigCon 2/3)
-        results[ind]["normdist"] = scipy.stats.norm.fit(dss)
+                          % (sta_full, ents[0][1].Name), level="error")
+        # one bank per template length; DS of every row in the group from
+        # the same batched device calls
+        by_n = {}
+        for ent in ents:
+            by_n.setdefault(ent[2].shape[1], []).append(ent)
+        for n, grp in sorted(by_n.items()):
+            bank = _ds.build_bank([e[2] for e in grp], Nc,
+                                  int(conLen * sr * Nc))
+            dsmats = [[] for _ in grp]
+            BATCH = 8
+            for s in range(0, len(accepted), BATCH):
+                for out in _ds.run_bank_batch(accepted[s:s + BATCH], bank,
+                                              Nc):
+                    for gi in range(len(grp)):
+                        dsmats[gi].append(out[gi])
+            for gi, (ind, row, U, _, _) in enumerate(grp):
+                dss = np.concatenate(dsmats[gi]).astype(
+                    np.float64 if dtype == "double" else np.float32)
+                results[ind]["hist"] = np.histogram(dss, bins=histBins)[0]
+                clipped = np.clip(dss, 1e-12, 1 - 1e-12)
+                betaparams = scipy.stats.beta.fit(clipped, floc=0,
+                                                  fscale=1)
+                results[ind]["betadist"] = betaparams
+                results[ind]["nnlf"] = scipy.stats.beta.nnlf(betaparams,
+                                                             clipped)
+                # normal-distribution null, carried by the reference's
+                # legacy matched-filter engine (extras/xcorr.py trigCon 2/3)
+                results[ind]["normdist"] = scipy.stats.norm.fit(dss)
     return results
 
 
-def _getDSVect(fetcher, stakey, utc1, utc2, filt, deci, dtype, conDatNum,
-               Nc, bank, sta, lta, limit):
-    """Collect DS vectors over random continuous chunks
-    (reference fas.py:89-117)."""
+def _collectChunks(fetcher, stakey, utc1, utc2, filt, deci, dtype,
+                   conDatNum, Nc, sta, lta, limit):
+    """Fetch, filter, STA/LTA-screen and multiplex the deterministic
+    random null chunks for one station (reference fas.py:89-117 minus the
+    per-detector DS, which the caller batches per station)."""
     stgen = fetcher.getConData(stakey, utcstart=utc1, utcend=utc2,
                                randSamps=conDatNum * 4)
     count = 0
@@ -112,13 +145,7 @@ def _getDSVect(fetcher, stakey, utc1, utc2, filt, deci, dtype, conDatNum,
     if count == 0:
         detex_tpu.log(__name__, "Could not get any data for %s"
                       % stakey.STATION.iloc[0], level="error")
-    # all accepted chunks scanned in batched device calls
-    DSmat = []
-    BATCH = 8
-    for s in range(0, len(accepted), BATCH):
-        for ds_s in _ds.run_bank_batch(accepted[s:s + BATCH], bank, Nc):
-            DSmat.append(ds_s[0])
-    return DSmat, count, scount
+    return accepted, count, scount
 
 
 def _loadMPSubSpace(row):
