@@ -45,6 +45,18 @@ def _precision():
     return table[p]
 
 
+def _precision_mosaic():
+    """Dot precision for Pallas (Mosaic) kernels. Mosaic's dot lowering
+    supports only DEFAULT and HIGHEST — requesting HIGH raises
+    NotImplementedError at lowering time on real TPU. Map the package
+    default HIGH to HIGHEST (more accurate, ~2x matmul cost inside the
+    kernel; the fused kernels win on HBM traffic, not FLOPs)."""
+    p = _precision()
+    if p == jax.lax.Precision.HIGH:
+        return jax.lax.Precision.HIGHEST
+    return p
+
+
 def use_matmul_fft():
     """Matmul DFT on real TPU backends (override DETEX_TPU_MATMUL_FFT)."""
     env = os.environ.get("DETEX_TPU_MATMUL_FFT")
@@ -84,6 +96,55 @@ def _ct_mats(n, inverse):
     return ((f32(wn2.real), f32(wn2.imag)),
             (f32(tw.real), f32(tw.imag)),
             (f32(wn1.real), f32(wn1.imag)))
+
+
+@lru_cache(maxsize=None)
+def _ct_mats_half(n, inverse):
+    """CT matrices for HALF-SPECTRUM transforms (validated vs np.fft to
+    1e-14; /tmp-style derivation in ops/pallas_kernels spec_ds docs).
+
+    inverse=True (irfft from the n//2+1 half spectrum, no hermitian
+    extension): X[t] = (1/n)*Re(sum_{k<=n/2} c_k Z[k] W^{+kt}) with
+    c_0 = c_{n/2} = 1, else 2. With k = k1 + n1*k2 the k < n/2 rectangle
+    is k2 in [0, n2/2); stage 1 contracts it with W2h [n2/2, n2]; the
+    k = n/2 term contributes Re(Z[n/2])*(-1)^t, added separately.
+    Returns ((w2h_r, w2h_i) [n2h, n2], (twr, twi) [n1, n2],
+             (w1r, w1i) [n1, n1]).
+
+    inverse=False (rfft emitting only k <= n/2): output index
+    k = n2*t1 + t2; keeping t1 <= n1/2 covers k < n/2*... every k <= n/2
+    plus mirror bins up to (n1/2)*n2 + n2 - 1 (callers slice [:n//2+1]).
+    Returns ((w2r, w2i) [n2, n2], (twr, twi) [n1, n2],
+             (w1h_r, w1h_i) [n1h, n1]) with n1h = n1//2 + 1.
+    """
+    n1, n2 = _split(n)
+    sgn = 1.0 if inverse else -1.0
+    f32 = lambda a: np.asarray(a, np.float32)  # noqa: E731
+    t2 = np.arange(n2)
+    tw = np.exp(sgn * 2j * np.pi * np.outer(np.arange(n1), t2) / n)
+    if inverse:
+        k2 = np.arange(n2 // 2)
+        w2h = np.exp(sgn * 2j * np.pi * np.outer(k2, t2) / n2)
+        w1 = np.exp(sgn * 2j * np.pi *
+                    np.outer(np.arange(n1), np.arange(n1)) / n1)
+        return ((f32(w2h.real), f32(w2h.imag)),
+                (f32(tw.real), f32(tw.imag)),
+                (f32(w1.real), f32(w1.imag)))
+    k2 = np.arange(n2)
+    w2 = np.exp(sgn * 2j * np.pi * np.outer(k2, t2) / n2)
+    t1 = np.arange(n1 // 2 + 1)
+    w1h = np.exp(sgn * 2j * np.pi * np.outer(t1, np.arange(n1)) / n1)
+    return ((f32(w2.real), f32(w2.imag)),
+            (f32(tw.real), f32(tw.imag)),
+            (f32(w1h.real), f32(w1h.imag)))
+
+
+def half_rp(n):
+    """Padded spectrum width for the half-spectrum kernels: the forward
+    kernel naturally emits (n1//2+1)*n2 bins (rfft order; bins past
+    n//2 are mirror-frequency values), which is also lane-aligned."""
+    n1, n2 = _split(n)
+    return (n1 // 2 + 1) * n2
 
 
 def _cmatmul(ar, ai, br, bi, prec):
@@ -190,3 +251,33 @@ def rfft_ct(x, n):
         return jax.lax.complex(fr[:, :R], fi[:, :R]).reshape(lead + (R,))
     xr, xi = _ct_core(x, jnp.zeros_like(x), n, inverse=False)
     return jax.lax.complex(xr[..., :n // 2 + 1], xi[..., :n // 2 + 1])
+
+
+@partial(jax.jit, static_argnames=("n", "rp"))
+def rfft_pair(x, n, rp):
+    """Forward transform of real x [N, n] as a float32 (real, imag) pair
+    [N, rp] — no complex arrays (the fused spec->DS kernel consumes the
+    pair directly, and complex transfers are broken on this backend).
+
+    Bins in (n//2, rp) are either mirror-frequency spectrum values (the
+    Pallas/matmul paths' natural full-width layout) or zeros (backend-FFT
+    fallback) — consumers must treat them as inert (the spec_ds kernel
+    only reads bins [0, n//2]; template spectra are zero-padded there)."""
+    R = n // 2 + 1
+    assert R <= rp <= n
+    n1, _ = _split(n)
+    if n1 == 128 and n <= 32768 and _use_pallas_dft():
+        if rp == half_rp(n):
+            # half-spectrum forward: half the stage-2 dots and writes
+            from detex_tpu.ops.pallas_kernels import rfft_ct_half
+            return rfft_ct_half(x, n)
+        from detex_tpu.ops.pallas_kernels import rfft_ct_fused
+        fr, fi = rfft_ct_fused(x, n)
+        return fr[:, :rp], fi[:, :rp]
+    if use_matmul_fft():
+        xr, xi = _ct_core(x, jnp.zeros_like(x), n, inverse=False)
+        return xr[:, :rp], xi[:, :rp]
+    f = jnp.fft.rfft(x, n, axis=-1)
+    fr = jnp.pad(jnp.real(f), ((0, 0), (0, rp - R)))
+    fi = jnp.pad(jnp.imag(f), ((0, 0), (0, rp - R)))
+    return fr, fi

@@ -540,6 +540,111 @@ def os_block_scan_batch(F, a, power, Ufd2, sum_u, d_mask, n_c, nc, blk_fft,
     return ds, pyr, hist
 
 
+def os_prep_batch_pair(X, n_c, nc, blk_fft):
+    """os_prep_batch emitting the block spectra as a float32 (real, imag)
+    pair (Fr, Fi) [B*nc, m*Rp] for the fused spec->DS kernel — the complex
+    spectra array never exists. Stats (a, power) as os_prep_batch."""
+    B, Lc = X.shape
+    L_c = Lc // nc
+    n = n_c * nc
+    out_len, pad0, D0, W, m = _os_geometry(L_c, n_c, blk_fft)
+    mu = jnp.mean(X, axis=1, keepdims=True)
+    sd = jnp.std(X, axis=1, keepdims=True)
+    xs = (X - mu) / jnp.where(sd == 0, 1.0, sd)
+    xc = xs.reshape(B, L_c, nc).transpose(0, 2, 1)      # [B, nc, L_c]
+
+    flat = xc.reshape(B * nc, L_c)
+    s1 = jax.vmap(lambda v: rolling_mean(v, n_c))(flat)
+    s2 = jax.vmap(lambda v: rolling_mean(v * v, n_c))(flat)
+    s1 = s1.reshape(B, nc, -1).sum(axis=1) * n_c        # [B, M]
+    s2 = s2.reshape(B, nc, -1).sum(axis=1) * n_c
+    a = s1 / n
+    var_samp = (s2 - s1 * s1 / n) / (n - 1.0)
+    power = jnp.maximum(var_samp, 0.0) * n
+
+    k = -(-blk_fft // W) + 1
+    xp = jnp.pad(xc, ((0, 0), (0, 0),
+                      (pad0, (m + k - 1) * W - L_c - pad0)))
+    rows = [xp[:, :, j * W:(m + j) * W].reshape(B, nc, m, W)
+            for j in range(k)]
+    xb = jnp.concatenate(rows, axis=3)[:, :, :, :blk_fft]  # [B, nc, m, blk]
+    from detex_tpu.ops import dft as _dft
+    Rp = _dft.half_rp(blk_fft)
+    fr, fi = _dft.rfft_pair(xb.reshape(B * nc * m, blk_fft), blk_fft, Rp)
+    return (fr.reshape(B * nc, m * Rp), fi.reshape(B * nc, m * Rp),
+            a, power)
+
+
+def bank_spec_pair(bank):
+    """Padded float32 (real, imag) template spectra [Dmax, S, nc, Rp]
+    (basis-dim-major — the fused kernel's grid sweeps basis dims on its
+    innermost axis) for the fused spec->DS kernel, cached on the bank
+    dict. Masked basis slots are identically zero (rfft of the
+    zero-padded Ud rows)."""
+    if "_spec_pair" not in bank:
+        from detex_tpu.ops import dft as _dft
+        Ufd2 = bank["Ufd2"]
+        R = Ufd2.shape[-1]
+        Rp = _dft.half_rp(bank["blk_fft"])
+        pad = [(0, 0)] * (Ufd2.ndim - 1) + [(0, Rp - R)]
+        bank["_spec_pair"] = (
+            jnp.pad(jnp.real(Ufd2).astype(jnp.float32),
+                    pad).transpose(1, 0, 2, 3),
+            jnp.pad(jnp.imag(Ufd2).astype(jnp.float32),
+                    pad).transpose(1, 0, 2, 3))
+    return bank["_spec_pair"]
+
+
+def spec_ds_mode(B, S, Dmax, n_c, nc, blk_fft):
+    """Row-ordering mode for the fused spec->DS kernel, or None when the
+    config must use the unfused fold path. Prefers "net" (rows (chunk,
+    template), S % 8 == 0 — template-blocked banks always qualify);
+    "sub" (rows (template, chunk)) covers small banks when B % 8 == 0."""
+    import os
+    if os.environ.get("DETEX_TPU_SPECDS", "1") == "0":
+        return None
+    if not (_use_pallas() and _dft_mod().use_matmul_fft()):
+        return None
+    from detex_tpu.ops.pallas_kernels import spec_ds_supported
+    for mode in ("net", "sub"):
+        if spec_ds_supported(mode, B, S, Dmax, nc, n_c, blk_fft):
+            return mode
+    return None
+
+
+def _dft_mod():
+    from detex_tpu.ops import dft as _dft
+    return _dft
+
+
+def os_scan_batch_fused(Fr, Fi, a, power, ur, ui, sum_u, d_mask, mode,
+                        n_c, nc, blk_fft, L_c, nv, nbin=0):
+    """Fused-kernel twin of os_block_scan_batch: one Pallas pass does the
+    channel FMA, the half-spectrum CT inverse, the DS finalize, the pad
+    mask, the trigger pyramid and the histogram (ops/pallas_kernels
+    spec_ds_fold). Returns FLAT row-major outputs:
+
+    mode "net": ds [B*S, m*W] rows (chunk, template)
+    mode "sub": ds [S*B, m*W] rows (template, chunk)
+    plus (pyr, hist) with matching row order.
+
+    ur, ui: bank_spec_pair output [Dmax, S, nc, Rp] (basis-dim-major)."""
+    S, Dmax = sum_u.shape
+    out_len, pad0, D0, W, m = _os_geometry(L_c, n_c, blk_fft)
+    powsafe = jnp.where(power == 0, jnp.inf, power)
+    su = jnp.where(d_mask, sum_u, 0.0).T             # [Dmax, S]
+    pad_w = m * W - out_len
+    ap = jnp.pad(a, ((0, 0), (0, pad_w)))
+    pp = jnp.pad(powsafe, ((0, 0), (0, pad_w)), constant_values=1.0)
+    Rp = _dft_mod().half_rp(blk_fft)
+    u2r = ur.reshape(Dmax, S, nc * Rp)
+    u2i = ui.reshape(Dmax, S, nc * Rp)
+    from detex_tpu.ops.pallas_kernels import spec_ds_fold
+    return spec_ds_fold(u2r, u2i, Fr, Fi, ap, pp, su,
+                        jnp.asarray(nv, jnp.int32), mode, nc, Dmax, W, D0,
+                        blk_fft, nbin=nbin)
+
+
 def fold_scan_supported(B, S, Dmax, n_c, blk_fft):
     """True when the fold-batch OS scan's Pallas finalize can handle this
     config (tile legality + VMEM budget + pyramid-width limit)."""

@@ -230,7 +230,7 @@ def irfft_ct_fused(zr, zi, n, interpret=None):
     n1, n2 = _dft._split(n)
     assert n1 == 128, "fused CT kernel requires n1 == 128"
     (w2r, w2i), (twr, twi), (w1r, w1i) = _dft._ct_mats(n, True)
-    prec = _dft._precision()
+    prec = _dft._precision_mosaic()
     N = zr.shape[0]
     st = 8
     Np = (N + st - 1) // st * st
@@ -306,7 +306,7 @@ def rfft_ct_fused(x, n, interpret=None):
     n1, n2 = _dft._split(n)
     assert n1 == 128, "fused CT kernel requires n1 == 128"
     (w2r, w2i), (twr, twi), (w1r, w1i) = _dft._ct_mats(n, False)
-    prec = _dft._precision()
+    prec = _dft._precision_mosaic()
     N = x.shape[0]
     st = 8
     Np = (N + st - 1) // st * st
@@ -707,3 +707,372 @@ def ds_finalize_os(cb, a, power, sum_u, head, D, W, interpret=False):
     )(cb.reshape(SD, m * blk), a[None, :], power[None, :],
       sum_u.reshape(SD, 1))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fully fused spec -> DS kernel: channel cross-spectra FMA + HALF-SPECTRUM
+# Cooley-Tukey inverse + DS finalize + pad mask + trigger pyramid +
+# histogram, all in ONE VMEM pass.
+#
+# The unfused fold path materializes, per chunk launch, the complex
+# cross-spectra [B,S,D,m,R], the hermitian extension [.,blk]x2 and the raw
+# correlation blocks cb [B*S*D,m,blk] in HBM (~5 GB/chunk at S=1000 vs a
+# ~25 ms/chunk theoretical floor — PERF.md). Here none of those exist: each
+# grid cell FMAs the template spectra against the chunk spectra in VMEM,
+# inverts via the half-spectrum CT decomposition (no hermitian extension;
+# X[t] = (1/n)Re(sum_{k<=n/2} c_k Z[k] W^{kt}), c_0 = c_{n/2} = 1 else 2;
+# the k=n/2 term is the rank-1 correction Re(Z[n/2])(-1)^t), and finalizes
+# straight to the DS tile.
+#
+# Two row orderings share one kernel body:
+#  - mode "net" (large banks, S % 8 == 0): rows are (chunk, template); a
+#    tile's rows live in ONE chunk, so the chunk spectra and rolling stats
+#    arrive as shared blocks; templates stream per tile.
+#  - mode "sub" (small banks, B % 8 == 0): rows are (template, chunk); a
+#    tile's rows live in ONE template, so its spectra are the shared block
+#    and the chunk spectra/stats stream via index maps — no replication of
+#    either side in HBM.
+# ---------------------------------------------------------------------------
+
+
+def _spec_ds_fold_kernel(ur_ref, ui_ref, fr_ref, fi_ref, a_ref, p_ref,
+                         su_ref, nv_ref, kio_ref, w2hr_ref, w2hi_ref,
+                         twr_ref, twi_ref, w1rt_ref, w1it_ref,
+                         ds_ref, pyr_ref, hist_ref, *,
+                         mode, nc, D, W, nbin, n1, n2, head, Rp, prec):
+    """Grid (row_tiles, m, D) with the basis dim INNERMOST: each step
+    runs one basis dim's FMA + half-spectrum CT chain (bounding the VMEM
+    stack at ONE chain — a D-unrolled body measured 27-44 MB against the
+    ~16 MB scoped limit, and Mosaic inlines lax.fori_loop bodies too).
+    The DS output block doubles as the cross-d y^2 accumulator: its index
+    map ignores d, so it stays VMEM-resident across the d sweep; the
+    finalize (power divide, pad mask, pyramid, histogram) runs at
+    d == D-1."""
+    i = pl.program_id(1)
+    d = pl.program_id(2)
+    st = ds_ref.shape[0]
+    n = n1 * n2
+    n2h = n2 // 2
+    dot = partial(jax.lax.dot_general,
+                  dimension_numbers=(((1,), (0,)), ((), ())),
+                  preferred_element_type=jnp.float32, precision=prec)
+    # ---- channel FMA for THIS basis dim -> spec [st, Rp] ----
+    # U rows are per-tile in "net" ([st, ...]) and shared in "sub"
+    # ([1, ...]); F is the mirror image — broadcasting unifies both.
+    ur = ur_ref[...].reshape(-1, nc, Rp)             # [st | 1, nc, Rp]
+    ui = ui_ref[...].reshape(-1, nc, Rp)
+    f3r = fr_ref[...].reshape(-1, nc, Rp)            # [1 | st, nc, Rp]
+    f3i = fi_ref[...].reshape(-1, nc, Rp)
+    sr = jnp.zeros((st, Rp), jnp.float32)
+    si = jnp.zeros((st, Rp), jnp.float32)
+    for c in range(nc):
+        ucr = ur[:, c, :]
+        uci = ui[:, c, :]
+        fcr = f3r[:, c, :]
+        fci = f3i[:, c, :]
+        sr = sr + ucr * fcr - uci * fci
+        si = si + ucr * fci + uci * fcr
+    # ---- c_k weights (mirror bins past n/2 are sliced away below) ----
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, Rp), 1)
+    wk = jnp.where((kidx == 0) | (kidx >= n // 2), 1.0, 2.0)
+    zrd = sr * wk
+    zid = si * wk
+    # ---- half-spectrum CT inverse -> x [st, n] ----
+    zhr = zrd[:, n // 2:n // 2 + 1]                  # Re(Z[n/2]), c=1
+    rr = zrd[:, :n // 2].reshape(st, n2h, n1)
+    ri = zid[:, :n // 2].reshape(st, n2h, n1)
+    rr = jnp.swapaxes(rr, 1, 2).reshape(st * n1, n2h)
+    ri = jnp.swapaxes(ri, 1, 2).reshape(st * n1, n2h)
+    ar = dot(rr, w2hr_ref[...]) - dot(ri, w2hi_ref[...])   # [st*k1, t2]
+    ai = dot(rr, w2hi_ref[...]) + dot(ri, w2hr_ref[...])
+    ar3 = ar.reshape(st, n1, n2)
+    ai3 = ai.reshape(st, n1, n2)
+    twr = twr_ref[...]
+    twi = twi_ref[...]
+    br = ar3 * twr - ai3 * twi
+    bi = ar3 * twi + ai3 * twr
+    br = jnp.swapaxes(br, 1, 2).reshape(st * n2, n1)
+    bi = jnp.swapaxes(bi, 1, 2).reshape(st * n2, n1)
+    xr = dot(br, w1rt_ref[...]) - dot(bi, w1it_ref[...])   # [st*t2, t1]
+    x3 = xr.reshape(st, n2, n1)
+    t2i = jax.lax.broadcasted_iota(jnp.int32, (1, n2, 1), 1)
+    alt = jnp.where(t2i % 2 == 0, 1.0, -1.0)
+    x3 = x3 + zhr.reshape(st, 1, 1) * alt
+    x = jnp.swapaxes(x3, 1, 2).reshape(st, n) * (1.0 / n)
+    # ---- accumulate y^2 into the resident DS block ----
+    a = a_ref[...].reshape(-1, W)
+    su = su_ref[...].reshape(-1, 1)                  # [st | 1, 1]
+    y = x[:, head:head + W] - su * a
+    yy = y * y
+
+    @pl.when(d == 0)
+    def _first():
+        ds_ref[...] = yy
+
+    @pl.when(d > 0)
+    def _accum():
+        ds_ref[...] += yy
+
+    # ---- finalize on the last basis dim ----
+    @pl.when(d == D - 1)
+    def _finalize():
+        power = p_ref[...].reshape(-1, W)
+        ds = ds_ref[...] / power
+        pos = i * W + jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+        nv = nv_ref[...].reshape(-1, 1)
+        ds = jnp.where(pos < nv, ds, -jnp.inf)
+        ds_ref[...] = ds
+        nb = W // 128
+        bm = ds.reshape(st, nb, 128).max(axis=-1)
+        pad = jnp.full((st, 128 - nb), -jnp.inf, ds.dtype)
+        pyr_ref[...] = jnp.concatenate([bm, pad], axis=1)
+        if nbin:
+            @pl.when(i == 0)
+            def _init():
+                hist_ref[...] = jnp.zeros_like(hist_ref)
+
+            g = int(round(nbin ** 0.5))
+            idx = jnp.floor(ds * nbin)
+            idx = jnp.where(ds == 1.0, nbin - 1.0, idx)
+            coarse = jnp.floor(idx * (1.0 / g))
+            fine = idx - coarse * g
+            kio = kio_ref[...]
+            for s in range(st):
+                A = (coarse[s:s + 1, :] == kio).astype(jnp.float32)
+                Bf = (fine[s:s + 1, :] == kio).astype(jnp.float32)
+                cnt = jax.lax.dot_general(
+                    A, Bf, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                hist_ref[s] += cnt
+
+
+SPEC_DS_ST = 8       # rows per tile (chunks x templates; basis dims ride
+                     # the innermost grid axis)
+
+
+def spec_ds_supported(mode, B, S, D, nc, n_c, blk):
+    """True when spec_ds_fold can run this config."""
+    pad0 = (-(n_c - 1)) % 128
+    W = blk - (n_c - 1 + pad0)
+    if W < 128 or W % 128 or (W // 128) > 128:
+        return False
+    b = int(blk).bit_length() - 1
+    if (1 << b) != blk:
+        return False
+    n1 = 1 << (b // 2)
+    if n1 != 128:
+        return False
+    st = SPEC_DS_ST
+    if mode == "net":
+        return S % st == 0
+    return B % st == 0
+
+
+@partial(jax.jit, static_argnames=("mode", "nc", "D", "W", "head", "blk",
+                                   "nbin", "interpret"))
+def spec_ds_fold(ur, ui, fr, fi, a, power, sum_u, nv, mode, nc, D, W, head,
+                 blk, nbin=0, interpret=None):
+    """
+    One-pass spec->DS scan. Replaces cross-spectra einsum + hermitian
+    extension + irfft + ds_finalize_os_fold for overlap-save banks.
+
+    Parameters (Rp = (n1//2+1)*n2 = blk//2 + n2 padded spectrum width;
+    spectra arrive as float32 (real, imag) pairs — bins in (blk//2, Rp)
+    are mirror-frequency values from the forward transform's natural
+    layout and are ignored):
+
+    mode "net" — rows (chunk, template), S % 8 == 0:
+      ur, ui : [D, S, nc*Rp] basis-dim-major template spectra
+      fr, fi : [B*nc, m*Rp] chunk block spectra
+      a, power : [B, m*W] per-chunk rolling stats (padded past out_len)
+      sum_u : [D, S] basis sums (masked slots 0), basis-dim-major
+      nv : [B] int32 valid DS lengths
+      returns ds [B*S, m*W], pyr [B*S, m*(W//128)], hist [B*S, nbin]|None
+
+    mode "sub" — rows (template, chunk), B % 8 == 0:
+      same arrays; returns ds [S*B, m*W] (rows (s, b)), pyr, hist likewise
+    """
+    if interpret is None:
+        try:
+            interpret = jax.default_backend() != "tpu"
+        except Exception:  # pragma: no cover
+            interpret = True
+    from detex_tpu.ops import dft as _dft
+    n1, n2 = _dft._split(blk)
+    Rp = (n1 // 2 + 1) * n2
+    (w2hr, w2hi), (twr, twi), (w1r, w1i) = _dft._ct_mats_half(blk, True)
+    prec = _dft._precision_mosaic()
+    st = SPEC_DS_ST
+    B = nv.shape[0]
+    m = fr.shape[1] // Rp
+    D_, S = sum_u.shape
+    assert D_ == D and ur.shape[:2] == (D, S)
+    # Mosaic's tile law: a block's last two dims must be multiples of
+    # (8, 128) or equal the array dims — small/shared operands therefore
+    # ride 3-D layouts whose trailing dims exactly match the array
+    # (leading dims are unconstrained), same trick as ds_finalize_os_fold.
+    f_in = (fr.reshape(B, nc, m * Rp), fi.reshape(B, nc, m * Rp))
+    # U/su ride 4-D layouts with a unit axis so the block's trailing two
+    # dims exactly equal the array's even for a single-template block
+    u_in = (ur.reshape(D, S, 1, nc * Rp), ui.reshape(D, S, 1, nc * Rp))
+    su_in = sum_u.reshape(D, S, 1, 1)
+    if mode == "net":
+        assert S % st == 0
+        BS = B * S
+        spt = S // st                   # template tiles per chunk
+        u_shape = (1, st, 1, nc * Rp)
+        u_map = lambda j, i, d: (d, j % spt, 0, 0)     # noqa: E731
+        f_shape = (1, nc, Rp)
+        f_map = lambda j, i, d: (j // spt, 0, i)       # noqa: E731
+        s_shape = (1, 1, W)
+        s_map = lambda j, i, d: (j // spt, 0, i)       # noqa: E731
+        su_shape = (1, st, 1, 1)
+        su_map = lambda j, i, d: (d, j % spt, 0, 0)    # noqa: E731
+        n_shape = (1, 1, 1)
+        n_map = lambda j, i, d: (j // spt, 0, 0)       # noqa: E731
+    else:
+        BS = S * B
+        assert B % st == 0
+        nt = B // st                    # chunk tiles per template
+        u_shape = (1, 1, 1, nc * Rp)
+        u_map = lambda j, i, d: (d, j // nt, 0, 0)     # noqa: E731
+        f_shape = (st, nc, Rp)
+        f_map = lambda j, i, d: (j % nt, 0, i)         # noqa: E731
+        s_shape = (st, 1, W)
+        s_map = lambda j, i, d: (j % nt, 0, i)         # noqa: E731
+        su_shape = (1, 1, 1, 1)
+        su_map = lambda j, i, d: (d, j // nt, 0, 0)    # noqa: E731
+        n_shape = (st, 1, 1)
+        n_map = lambda j, i, d: (j % nt, 0, 0)         # noqa: E731
+    g = int(round(nbin ** 0.5)) if nbin else 1
+    if nbin:
+        assert g * g == nbin, "nbin must be a perfect square"
+    kern = partial(_spec_ds_fold_kernel, mode=mode, nc=nc, D=D, W=W,
+                   nbin=nbin, n1=n1, n2=n2, head=head, Rp=Rp, prec=prec)
+    kio = jnp.arange(g, dtype=jnp.float32)[:, None]
+    const = lambda j, i, d: (0, 0)                     # noqa: E731
+    cspec = [pl.BlockSpec(w2hr.shape, const, memory_space=_VMEM),
+             pl.BlockSpec(w2hi.shape, const, memory_space=_VMEM),
+             pl.BlockSpec(twr.shape, const, memory_space=_VMEM),
+             pl.BlockSpec(twi.shape, const, memory_space=_VMEM),
+             pl.BlockSpec(w1r.T.shape, const, memory_space=_VMEM),
+             pl.BlockSpec(w1i.T.shape, const, memory_space=_VMEM)]
+    grid = (BS // st, m, D)
+    ds, bmax, hist = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(u_shape, u_map, memory_space=_VMEM),
+            pl.BlockSpec(u_shape, u_map, memory_space=_VMEM),
+            pl.BlockSpec(f_shape, f_map, memory_space=_VMEM),
+            pl.BlockSpec(f_shape, f_map, memory_space=_VMEM),
+            pl.BlockSpec(s_shape, s_map, memory_space=_VMEM),
+            pl.BlockSpec(s_shape, s_map, memory_space=_VMEM),
+            pl.BlockSpec(su_shape, su_map, memory_space=_VMEM),
+            pl.BlockSpec(n_shape, n_map, memory_space=_VMEM),
+            pl.BlockSpec((g, 1), lambda j, i, d: (0, 0),
+                         memory_space=_VMEM),
+        ] + cspec,
+        out_specs=[
+            pl.BlockSpec((st, W), lambda j, i, d: (j, i),
+                         memory_space=_VMEM),
+            pl.BlockSpec((st, 128), lambda j, i, d: (j, i),
+                         memory_space=_VMEM),
+            pl.BlockSpec((st, g, g), lambda j, i, d: (j, 0, 0),
+                         memory_space=_VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((BS, m * W), jnp.float32),
+                   jax.ShapeDtypeStruct((BS, m * 128), jnp.float32),
+                   jax.ShapeDtypeStruct((BS, g, g), jnp.float32)],
+        interpret=interpret,
+    )(u_in[0], u_in[1], f_in[0], f_in[1],
+      a.reshape(B, 1, m * W), power.reshape(B, 1, m * W), su_in,
+      jnp.asarray(nv, jnp.int32).reshape(B, 1, 1), kio,
+      jnp.asarray(w2hr), jnp.asarray(w2hi), jnp.asarray(twr),
+      jnp.asarray(twi), jnp.asarray(np.ascontiguousarray(w1r.T)),
+      jnp.asarray(np.ascontiguousarray(w1i.T)))
+    nb = W // 128
+    pyr = bmax.reshape(BS, m, 128)[:, :, :nb].reshape(BS, m * nb)
+    return ds, pyr, (hist.reshape(BS, nbin) if nbin else None)
+
+
+def _rfft_ct_half_kernel(x_ref, w2r_ref, w2i_ref, twr_ref, twi_ref,
+                         w1hrt_ref, w1hit_ref, or_ref, oi_ref, *,
+                         n1, n2, prec):
+    """Forward CT transform of REAL input emitting only the rfft half:
+    stage 2 contracts with W1h^T [n1, n1h] (n1h = n1//2 + 1), so both the
+    matmul work and the output writes halve vs _rfft_ct_kernel. Output
+    layout [st, n1h*n2] is exactly rfft order (k = n2*t1 + t2); bins past
+    n//2 are mirror-frequency values (callers treat them as inert)."""
+    st = or_ref.shape[0]
+    n1h = n1 // 2 + 1
+    dot = partial(jax.lax.dot_general,
+                  dimension_numbers=(((1,), (0,)), ((), ())),
+                  preferred_element_type=jnp.float32, precision=prec)
+    x = x_ref[...].reshape(st, n2, n1)
+    x = jnp.swapaxes(x, 1, 2).reshape(st * n1, n2)     # [st*k1, k2]
+    ar = dot(x, w2r_ref[...])                          # [st*k1, t2]
+    ai = dot(x, w2i_ref[...])
+    twr = twr_ref[...]
+    twi = twi_ref[...]
+    ar3 = ar.reshape(st, n1, n2)
+    ai3 = ai.reshape(st, n1, n2)
+    br = ar3 * twr - ai3 * twi
+    bi = ar3 * twi + ai3 * twr
+    br = jnp.swapaxes(br, 1, 2).reshape(st * n2, n1)   # [st*t2, k1]
+    bi = jnp.swapaxes(bi, 1, 2).reshape(st * n2, n1)
+    w1rt = w1hrt_ref[...]                              # [k1, t1h]
+    w1it = w1hit_ref[...]
+    xr = dot(br, w1rt) - dot(bi, w1it)                 # [st*t2, t1h]
+    xi = dot(br, w1it) + dot(bi, w1rt)
+    xr = jnp.swapaxes(xr.reshape(st, n2, n1h), 1, 2)   # [st, t1h, t2]
+    xi = jnp.swapaxes(xi.reshape(st, n2, n1h), 1, 2)
+    or_ref[...] = xr.reshape(st, n1h * n2)
+    oi_ref[...] = xi.reshape(st, n1h * n2)
+
+
+@partial(jax.jit, static_argnames=("n", "interpret"))
+def rfft_ct_half(x, n, interpret=None):
+    """Fused matmul forward DFT of real x [N, n] emitting the padded half
+    spectrum (fr, fi) [N, Rp], Rp = (n1//2+1)*n2 == dft.half_rp(n):
+    fr[:, :n//2+1] + i*fi[:, :n//2+1] == rfft(x, n). Requires n1 == 128."""
+    if interpret is None:
+        try:
+            interpret = jax.default_backend() != "tpu"
+        except Exception:  # pragma: no cover
+            interpret = True
+    from detex_tpu.ops import dft as _dft
+    n1, n2 = _dft._split(n)
+    assert n1 == 128, "fused CT kernel requires n1 == 128"
+    n1h = n1 // 2 + 1
+    Rp = n1h * n2
+    (w2r, w2i), (twr, twi), (w1hr, w1hi) = _dft._ct_mats_half(n, False)
+    prec = _dft._precision_mosaic()
+    N = x.shape[0]
+    st = 8
+    Np = (N + st - 1) // st * st
+    if Np != N:
+        x = jnp.pad(x, ((0, Np - N), (0, 0)))
+    const = lambda j: (0, 0)                              # noqa: E731
+    cspec = [pl.BlockSpec(w2r.shape, const, memory_space=_VMEM),
+             pl.BlockSpec(w2i.shape, const, memory_space=_VMEM),
+             pl.BlockSpec(twr.shape, const, memory_space=_VMEM),
+             pl.BlockSpec(twi.shape, const, memory_space=_VMEM),
+             pl.BlockSpec(w1hr.T.shape, const, memory_space=_VMEM),
+             pl.BlockSpec(w1hi.T.shape, const, memory_space=_VMEM)]
+    fr, fi = pl.pallas_call(
+        partial(_rfft_ct_half_kernel, n1=n1, n2=n2, prec=prec),
+        grid=(Np // st,),
+        in_specs=[pl.BlockSpec((st, n), lambda j: (j, 0),
+                               memory_space=_VMEM)] + cspec,
+        out_specs=[pl.BlockSpec((st, Rp), lambda j: (j, 0),
+                                memory_space=_VMEM),
+                   pl.BlockSpec((st, Rp), lambda j: (j, 0),
+                                memory_space=_VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((Np, Rp), jnp.float32),
+                   jax.ShapeDtypeStruct((Np, Rp), jnp.float32)],
+        interpret=interpret,
+    )(x, jnp.asarray(w2r), jnp.asarray(w2i), jnp.asarray(twr),
+      jnp.asarray(twi), jnp.asarray(np.ascontiguousarray(w1hr.T)),
+      jnp.asarray(np.ascontiguousarray(w1hi.T)))
+    return fr[:N], fi[:N]

@@ -126,6 +126,35 @@ def _bank_arrays(bank):
     return bank["_blocked_arrs"]
 
 
+def _specds_arrs(bank, blocked):
+    """(ur, ui, sum_u, d_mask) device arrays for the fused spec->DS
+    kernel (ops/ds.py bank_spec_pair; ur/ui are basis-dim-major
+    [Dmax, S, nc, Rp]); ``blocked`` pads/reshapes the template axis to
+    [nB, ..., TEMPLATE_BLOCK, ...] (cached on the bank) — the template
+    axis is axis 1 for ur/ui, axis 0 for sum_u/d_mask."""
+    ur, ui = _ds.bank_spec_pair(bank)
+    raw = (ur, ui, bank["sum_u"], bank["d_mask"])
+    if not blocked:
+        return raw
+    if "_specds_blocked" not in bank:
+        SB = TEMPLATE_BLOCK
+        S = raw[2].shape[0]
+        Sp = -(-S // SB) * SB
+
+        def blk(a, axis):
+            pad = [(0, 0)] * a.ndim
+            pad[axis] = (0, Sp - S)
+            a = jnp.pad(a, pad)
+            a = jnp.moveaxis(a, axis, 0)
+            a = a.reshape((Sp // SB, SB) + a.shape[1:])
+            # restore the block-local layout: [nB, ...axis-at-original...]
+            return jnp.moveaxis(a, 1, axis + 1)
+
+        bank["_specds_blocked"] = (blk(ur, 1), blk(ui, 1),
+                                   blk(raw[2], 0), blk(raw[3], 0))
+    return bank["_specds_blocked"]
+
+
 def _blocked_thresholds(bank, thresholds):
     """Thresholds shaped to match _bank_arrays' blocking ([nB, SB] with the
     pad slots at +inf, or flat [S])."""
@@ -286,15 +315,52 @@ def _fold_scan_ok(bank, st, X, calc_hist, bins_uniform_nbin):
 
 
 def _fold_chunks_fn(X, NV, arrs, thresholds, n_c, nc, blk_fft, buff_samps,
-                    max_trig, S, calc_hist, uniform_nbin):
+                    max_trig, S, calc_hist, uniform_nbin, specds_mode=None):
     """Fold-batch OS scan body: every op instance covers the whole chunk
     batch (no lax.map) — see ops/ds.py os_prep_batch. Outputs match
     _chunk_fn's contract: (hist [S, nbins] summed over chunks,
-    maxds [B, S], tidx [B, S, K], tval, tcnt)."""
+    maxds [B, S], tidx [B, S, K], tval, tcnt).
+
+    With ``specds_mode`` ("net"/"sub") the whole spec->DS pipeline runs in
+    the single fused Pallas kernel (ops/pallas_kernels.spec_ds_fold);
+    ``arrs`` is then (ur, ui, sum_u, d_mask) from _specds_arrs. In "sub"
+    mode the kernel's rows are (template, chunk)-ordered — only the small
+    summary arrays are transposed back, never the DS array itself."""
     B = X.shape[0]
     L_c = X.shape[1] // nc
-    F, a, power = _ds.os_prep_batch(X, n_c, nc, blk_fft)
     nbin = uniform_nbin if calc_hist else 0
+
+    def trig_one(v, pm, t):
+        idx, cnt = _triggers.extract_triggers_pyramid_pm(
+            v, pm, t, buff_samps, max_triggers=max_trig)
+        vals = jnp.where(idx >= 0, v[jnp.clip(idx, 0, v.shape[0] - 1)],
+                         jnp.nan)
+        return idx, vals, cnt
+
+    if specds_mode:
+        Fr, Fi, a, power = _ds.os_prep_batch_pair(X, n_c, nc, blk_fft)
+        dsf, pyrf, hist = _ds.os_scan_batch_fused(
+            Fr, Fi, a, power, arrs[0], arrs[1], arrs[2], arrs[3],
+            specds_mode, n_c, nc, blk_fft, L_c, NV, nbin=nbin)
+        sub = specds_mode == "sub"
+        if sub:   # rows (s, b): transpose only the summaries
+            thf = jnp.broadcast_to(thresholds[:, None], (S, B)).reshape(-1)
+            tr = lambda x: jnp.swapaxes(                       # noqa: E731
+                x.reshape((S, B) + x.shape[1:]), 0, 1)
+        else:     # rows (b, s)
+            thf = jnp.broadcast_to(thresholds[None, :], (B, S)).reshape(-1)
+            tr = lambda x: x.reshape((B, S) + x.shape[1:])     # noqa: E731
+        maxds = tr(pyrf.max(axis=-1))
+        if calc_hist:
+            hist_tot = (hist.reshape(S, B, nbin).sum(axis=1) if sub else
+                        hist.reshape(B, S, nbin).sum(axis=0))
+            hist_tot = hist_tot.astype(jnp.int32)
+        else:
+            hist_tot = jnp.zeros((S, uniform_nbin), jnp.int32)
+        tidx, tval, tcnt = jax.vmap(trig_one)(dsf, pyrf, thf)
+        return hist_tot, maxds, tr(tidx), tr(tval), tr(tcnt)
+
+    F, a, power = _ds.os_prep_batch(X, n_c, nc, blk_fft)
     ds, pyr, hist = _ds.os_block_scan_batch(
         F, a, power, arrs[0], arrs[1], arrs[2], n_c, nc, blk_fft, L_c, NV,
         nbin=nbin)
@@ -306,14 +372,6 @@ def _fold_chunks_fn(X, NV, arrs, thresholds, n_c, nc, blk_fft, buff_samps,
     dsf = ds.reshape(B * S, -1)
     pyrf = pyr.reshape(B * S, -1)
     thf = jnp.broadcast_to(thresholds[None, :], (B, S)).reshape(B * S)
-
-    def trig_one(v, pm, t):
-        idx, cnt = _triggers.extract_triggers_pyramid_pm(
-            v, pm, t, buff_samps, max_triggers=max_trig)
-        vals = jnp.where(idx >= 0, v[jnp.clip(idx, 0, v.shape[0] - 1)],
-                         jnp.nan)
-        return idx, vals, cnt
-
     tidx, tval, tcnt = jax.vmap(trig_one)(dsf, pyrf, thf)
     K = tidx.shape[-1]
     return (hist_tot, maxds, tidx.reshape(B, S, K), tval.reshape(B, S, K),
@@ -322,12 +380,13 @@ def _fold_chunks_fn(X, NV, arrs, thresholds, n_c, nc, blk_fft, buff_samps,
 
 @partial(jax.jit, static_argnames=("n_c", "nc", "blk_fft", "buff_samps",
                                    "max_trig", "S", "calc_hist",
-                                   "uniform_nbin"))
+                                   "uniform_nbin", "specds_mode"))
 def _scan_chunks_fold_jit(X, NV, arrs, thresholds, n_c, nc, blk_fft,
                           buff_samps, max_trig, S, calc_hist=True,
-                          uniform_nbin=0):
+                          uniform_nbin=0, specds_mode=None):
     return _fold_chunks_fn(X, NV, arrs, thresholds, n_c, nc, blk_fft,
-                           buff_samps, max_trig, S, calc_hist, uniform_nbin)
+                           buff_samps, max_trig, S, calc_hist, uniform_nbin,
+                           specds_mode)
 
 
 def _fold_scan_blocked_ok(bank, st, X, bins_uniform_nbin):
@@ -350,22 +409,41 @@ def _fold_scan_blocked_ok(bank, st, X, bins_uniform_nbin):
 
 def _fold_chunks_blocked_fn(X, NV, arrs, thresholds, n_c, nc, blk_fft,
                             buff_samps, max_trig, S, calc_hist,
-                            uniform_nbin):
+                            uniform_nbin, specds_mode=None):
     """Fold-batch scan for template-blocked banks: the chunk-shared prep
     runs once for the whole batch, then lax.map over template blocks,
     each block processing ALL chunks with folded ops (per-chunk grouped
-    stats in the Pallas finalize — no lax.map over chunks at all)."""
+    stats in the Pallas finalize — no lax.map over chunks at all).
+
+    With ``specds_mode`` == "net" each block runs the fully fused
+    spec->DS kernel; ``arrs`` is then the blocked
+    (ur, ui, sum_u, d_mask) tuple from _specds_arrs."""
     B = X.shape[0]
     L_c = X.shape[1] // nc
-    F, a, power = _ds.os_prep_batch(X, n_c, nc, blk_fft)
     nbin = uniform_nbin if calc_hist else 0
-    SB = arrs[2].shape[1]
+    if specds_mode:
+        Fr, Fi, a, power = _ds.os_prep_batch_pair(X, n_c, nc, blk_fft)
+        SB = arrs[3].shape[1]
+    else:
+        F, a, power = _ds.os_prep_batch(X, n_c, nc, blk_fft)
+        SB = arrs[2].shape[1]
 
     def one_block(args):
-        Ufd2, su, dm, th = args
-        ds, pyr, hist = _ds.os_block_scan_batch(
-            F, a, power, Ufd2, su, dm, n_c, nc, blk_fft, L_c, NV,
-            nbin=nbin)
+        if specds_mode:
+            ur, ui, su, dm, th = args
+            ds, pyr, hist = _ds.os_scan_batch_fused(
+                Fr, Fi, a, power, ur, ui, su, dm, "net", n_c, nc,
+                blk_fft, L_c, NV, nbin=nbin)
+            # flat rows (b, s) — reshape-only back to [B, SB, ...]
+            ds = ds.reshape(B, SB, -1)
+            pyr = pyr.reshape(B, SB, -1)
+            if hist is not None:
+                hist = hist.reshape(B, SB, nbin)
+        else:
+            Ufd2, su, dm, th = args
+            ds, pyr, hist = _ds.os_block_scan_batch(
+                F, a, power, Ufd2, su, dm, n_c, nc, blk_fft, L_c, NV,
+                nbin=nbin)
         maxds = pyr.max(axis=-1)                      # [B, SB]
         if calc_hist:
             h = hist.sum(axis=0).astype(jnp.int32)    # [SB, nbin]
@@ -402,13 +480,14 @@ def _fold_chunks_blocked_fn(X, NV, arrs, thresholds, n_c, nc, blk_fft,
 
 @partial(jax.jit, static_argnames=("n_c", "nc", "blk_fft", "buff_samps",
                                    "max_trig", "S", "calc_hist",
-                                   "uniform_nbin"))
+                                   "uniform_nbin", "specds_mode"))
 def _scan_chunks_fold_blocked_jit(X, NV, arrs, thresholds, n_c, nc,
                                   blk_fft, buff_samps, max_trig, S,
-                                  calc_hist=True, uniform_nbin=0):
+                                  calc_hist=True, uniform_nbin=0,
+                                  specds_mode=None):
     return _fold_chunks_blocked_fn(X, NV, arrs, thresholds, n_c, nc,
                                    blk_fft, buff_samps, max_trig, S,
-                                   calc_hist, uniform_nbin)
+                                   calc_hist, uniform_nbin, specds_mode)
 
 
 @partial(jax.jit, static_argnames=("demux", "n_c", "nc", "nfft",
@@ -465,17 +544,28 @@ def scan_chunks(X, bank, thresholds, nc, buff_samps, bins=None, max_trig=64,
     nv = _valid_lens(bank, nc, X, valid_lens)
     unb = _uniform_nbin(bins)
     if _fold_scan_ok(bank, st, X, calc_hist, unb):
+        mode = _ds.spec_ds_mode(int(X.shape[0]), st["S"],
+                                int(bank["Dmax"]), st["n_c"], st["nc"],
+                                st["nfft"])
+        arrs = _specds_arrs(bank, False) if mode else _bank_arrays(bank)
         return _scan_chunks_fold_jit(
             jnp.asarray(X, jnp.float32), jnp.asarray(nv),
-            _bank_arrays(bank), jnp.asarray(thresholds, jnp.float32),
+            arrs, jnp.asarray(thresholds, jnp.float32),
             st["n_c"], st["nc"], st["nfft"], int(buff_samps),
-            int(max_trig), st["S"], bool(calc_hist), unb)
+            int(max_trig), st["S"], bool(calc_hist), unb,
+            specds_mode=mode)
     if _fold_scan_blocked_ok(bank, st, X, unb):
+        mode = _ds.spec_ds_mode(int(X.shape[0]), TEMPLATE_BLOCK,
+                                int(bank["Dmax"]), st["n_c"], st["nc"],
+                                st["nfft"])
+        mode = mode if mode == "net" else None  # blocked rows are (b, s)
+        arrs = _specds_arrs(bank, True) if mode else _bank_arrays(bank)
         return _scan_chunks_fold_blocked_jit(
             jnp.asarray(X, jnp.float32), jnp.asarray(nv),
-            _bank_arrays(bank), _blocked_thresholds(bank, thresholds),
+            arrs, _blocked_thresholds(bank, thresholds),
             st["n_c"], st["nc"], st["nfft"], int(buff_samps),
-            int(max_trig), st["S"], bool(calc_hist), unb)
+            int(max_trig), st["S"], bool(calc_hist), unb,
+            specds_mode=mode)
     return _scan_chunks_jit(jnp.asarray(X, jnp.float32), jnp.asarray(nv),
                             _bank_arrays(bank),
                             _blocked_thresholds(bank, thresholds),
@@ -576,14 +666,15 @@ def _sharded_scan_fn(mesh, demux, n_c, nc, nfft, buff_samps, max_trig, axis,
 
 @lru_cache(maxsize=None)
 def _sharded_scan_fold_fn(mesh, n_c, nc, blk_fft, buff_samps, max_trig,
-                          axis, S, calc_hist=True, uniform_nbin=0):
+                          axis, S, calc_hist=True, uniform_nbin=0,
+                          specds_mode=None):
     """Sharded fold-batch scan: each device folds ITS chunk shard into
     single op instances; histograms merge with one psum."""
 
     def shard_body(Xs, NV, arrs, thresholds):
         hist, maxds, tidx, tval, tcnt = _fold_chunks_fn(
             Xs, NV, arrs, thresholds, n_c, nc, blk_fft, buff_samps,
-            max_trig, S, calc_hist, uniform_nbin)
+            max_trig, S, calc_hist, uniform_nbin, specds_mode)
         hist = jax.lax.psum(hist, axis)
         return hist, maxds, tidx, tval, tcnt
 
@@ -634,11 +725,17 @@ def scan_chunks_sharded(mesh, X, bank, thresholds, nc, buff_samps,
     X, nv, B = _pad_batch(mesh.size, X, nv)
     unb = _uniform_nbin(bins)
     if _fold_scan_ok(bank, st, X[:X.shape[0] // mesh.size], calc_hist, unb):
+        # fused spec->DS routing decided on the PER-SHARD batch size
+        mode = _ds.spec_ds_mode(int(X.shape[0]) // mesh.size, st["S"],
+                                int(bank["Dmax"]), st["n_c"], st["nc"],
+                                st["nfft"])
+        arrs = _specds_arrs(bank, False) if mode else _bank_arrays(bank)
         fn = _sharded_scan_fold_fn(mesh, st["n_c"], int(nc), st["nfft"],
                                    int(buff_samps), int(max_trig), axis,
-                                   st["S"], bool(calc_hist), unb)
+                                   st["S"], bool(calc_hist), unb,
+                                   specds_mode=mode)
         hist, maxds, tidx, tval, tcnt = fn(
-            jnp.asarray(X), jnp.asarray(nv), _bank_arrays(bank),
+            jnp.asarray(X), jnp.asarray(nv), arrs,
             jnp.asarray(thresholds, jnp.float32))
         return hist, maxds[:B], tidx[:B], tval[:B], tcnt[:B]
     fn = _sharded_scan_fn(mesh, st["demux"], st["n_c"], int(nc), st["nfft"],

@@ -155,6 +155,51 @@ def main():
     assert int((hb1 != hb0).sum()) <= SBIG, \
         "blocked-scan fused histogram drifted beyond edge-ULP cells"
 
+    # fused spec->DS kernel (FMA + half-spectrum CT inverse + finalize in
+    # one Pallas pass) vs the unfused fold pipeline, compiled on device.
+    # Needs blk_fft >= 16384 (n1 == 128).
+    LcS = 3 * 35000
+    rngs = np.random.default_rng(11)
+    Us = []
+    for s in range(3):
+        d = 4 if s % 2 == 0 else 3
+        As = rngs.standard_normal((d, 1680))
+        qs, _ = np.linalg.qr(As.T)
+        Us.append(np.ascontiguousarray(qs[:, :d].T))
+    bank_sd = dsops.build_bank(Us, nc, LcS, prefer_os=True,
+                               block_fft=16384)
+    XS = rngs.standard_normal((8, LcS)).astype(np.float32)
+    XS[1, 5001:5001 + 1680] += 150.0 * np.asarray(Us[0][0])
+    ths = np.full(3, 0.6, np.float32)
+    mode = dsops.spec_ds_mode(8, 3, bank_sd["Dmax"], bank_sd["n_c"], nc,
+                              16384)
+    assert mode == "sub", "spec_ds routing broken on device: %r" % mode
+    outs_sd = {}
+    for flag in ("1", "0"):
+        os.environ["DETEX_TPU_SPECDS"] = flag
+        pscan._scan_chunks_fold_jit.clear_cache()
+        h, mx, ti, tv, tc = pscan.scan_chunks(
+            XS, dict(bank_sd), ths, nc, 250, max_trig=8)
+        outs_sd[flag] = (np.asarray(h), np.asarray(mx), np.asarray(ti),
+                         np.asarray(tc))
+    os.environ.pop("DETEX_TPU_SPECDS", None)
+    hs1, ms1, tis1, tcs1 = outs_sd["1"]
+    hs0, ms0, tis0, tcs0 = outs_sd["0"]
+    print("spec-ds fused-vs-unfused maxds|diff| = %.3g, trig equal = %s, "
+          "hist cells diff = %d"
+          % (float(np.abs(ms1 - ms0).max()),
+             bool((tis1 == tis0).all() and (tcs1 == tcs0).all()),
+             int((hs1 != hs0).sum())))
+    assert float(np.abs(ms1 - ms0).max()) < 2e-5, "spec-ds maxds drifted"
+    assert (tis1 == tis0).all() and (tcs1 == tcs0).all(), \
+        "spec-ds triggers drifted"
+    assert (hs1.sum(axis=1) == hs0.sum(axis=1)).all()
+    assert int((hs1 != hs0).sum()) <= 16
+    assert int(tcs1[1, 0]) >= 1, "planted event lost by spec-ds path"
+    ds64 = dsops.ds_numpy(np.asarray(XS[1], np.float64), Us[0], nc)
+    assert abs(float(ds64.max()) - float(ms1[1, 0])) < 2e-5, \
+        "spec-ds drifted from the float64 oracle"
+
     nbad = int((got != want).sum())
     print("hist mismatch cells: %d / %d" % (nbad, got.size))
     # row totals must match exactly; individual cells may differ for
