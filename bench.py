@@ -106,7 +106,10 @@ def bench_scan(mode="subspace"):
         bank = dsops.build_bank(U_list, nc, Lc)
         assert bank.get("os"), "1000-template bank should be overlap-save"
         thresholds = np.full(S, 0.99, np.float32)
-        B = 4   # chunks per launch: amortizes the tunnel launch latency
+        # chunks per launch: amortizes the tunnel launch latency (the
+        # fused spec->DS kernel removed the per-chunk HBM intermediates
+        # that used to cap this)
+        B = int(os.environ.get("BENCH_B", "4"))
         iters = 8
         n_data = 8
     else:
@@ -123,7 +126,8 @@ def bench_scan(mode="subspace"):
         # chunks per device call; the fold path amortizes per-op fixed
         # cost over the whole batch, so bigger is better until HBM caps it
         # (measured: B=16 -> 16.3, B=64 -> 21.7, B=128 -> 27.3 st-d/s)
-        B = max(1, int(round(128 / SUBSPACE_CHUNK_HOURS)))
+        B = int(os.environ.get(
+            "BENCH_B", str(max(1, int(round(128 / SUBSPACE_CHUNK_HOURS))))))
         iters = 2
         n_data = 4
     # distinct inputs per iteration + a dependency chain between steps:

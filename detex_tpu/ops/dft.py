@@ -46,14 +46,22 @@ def _precision():
 
 
 def _precision_mosaic():
-    """Dot precision for Pallas (Mosaic) kernels. Mosaic's dot lowering
+    """Dot strategy for Pallas (Mosaic) kernels. Mosaic's dot lowering
     supports only DEFAULT and HIGHEST — requesting HIGH raises
-    NotImplementedError at lowering time on real TPU. Map the package
-    default HIGH to HIGHEST (more accurate, ~2x matmul cost inside the
-    kernel; the fused kernels win on HBM traffic, not FLOPs)."""
+    NotImplementedError at lowering time on real TPU. The package
+    default HIGH therefore maps to "bf16x3" (manual 3-pass bf16
+    emulation of HIGH inside the kernel, pallas_kernels._kdot; override
+    with DETEX_TPU_MOSAIC_DOT=highest for 6-pass HIGHEST dots)."""
     p = _precision()
     if p == jax.lax.Precision.HIGH:
-        return jax.lax.Precision.HIGHEST
+        mode = os.environ.get("DETEX_TPU_MOSAIC_DOT", "bf16x3")
+        if mode == "highest":
+            return jax.lax.Precision.HIGHEST
+        if mode != "bf16x3":
+            raise ValueError(
+                "DETEX_TPU_MOSAIC_DOT=%r not one of ['bf16x3', "
+                "'highest']" % mode)
+        return "bf16x3"
     return p
 
 

@@ -32,6 +32,27 @@ LANE = 128
 DEFAULT_TILE = 8 * 1024
 
 
+def _kdot(prec):
+    """In-kernel [M,K]@[K,N] matmul for the CT kernels. Mosaic lowers
+    only DEFAULT/HIGHEST f32 dot precisions; "bf16x3" emulates HIGH
+    (three single-pass bf16 dots with f32 accumulation, dropping the
+    lo*lo term — ~1e-6 relative error like XLA's HIGH) at half
+    HIGHEST's MXU passes."""
+    dims = (((1,), (0,)), ((), ()))
+    if prec == "bf16x3":
+        def dot(a, b):
+            ah = a.astype(jnp.bfloat16)
+            al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+            bh = b.astype(jnp.bfloat16)
+            bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+            d = partial(jax.lax.dot_general, dimension_numbers=dims,
+                        preferred_element_type=jnp.float32)
+            return d(ah, bh) + (d(ah, bl) + d(al, bh))
+        return dot
+    return partial(jax.lax.dot_general, dimension_numbers=dims,
+                   preferred_element_type=jnp.float32, precision=prec)
+
+
 def _finalize_kernel(cc_ref, a_ref, power_ref, sum_u_ref, out_ref):
     cc = cc_ref[...]                    # [SD, T]
     a = a_ref[...]                      # [1, T]
@@ -191,9 +212,7 @@ def _irfft_ct_kernel(zr_ref, zi_ref, w2r_ref, w2i_ref, twr_ref, twi_ref,
       swap back -> [st, t1, t2] -> [st, n], scale 1/n.
     """
     st = out_ref.shape[0]
-    dot = partial(jax.lax.dot_general,
-                  dimension_numbers=(((1,), (0,)), ((), ())),
-                  preferred_element_type=jnp.float32, precision=prec)
+    dot = _kdot(prec)
     zr = zr_ref[...].reshape(st, n2, n1)
     zi = zi_ref[...].reshape(st, n2, n1)
     zr = jnp.swapaxes(zr, 1, 2).reshape(st * n1, n2)   # [st*k1, k2]
@@ -267,9 +286,7 @@ def _rfft_ct_kernel(x_ref, w2r_ref, w2i_ref, twr_ref, twi_ref, w1rt_ref,
     needs only two matmuls). Emits the full-width complex spectrum as a
     (real, imag) pair; the caller slices to n//2+1."""
     st = or_ref.shape[0]
-    dot = partial(jax.lax.dot_general,
-                  dimension_numbers=(((1,), (0,)), ((), ())),
-                  preferred_element_type=jnp.float32, precision=prec)
+    dot = _kdot(prec)
     x = x_ref[...].reshape(st, n2, n1)
     x = jnp.swapaxes(x, 1, 2).reshape(st * n1, n2)     # [st*k1, k2]
     ar = dot(x, w2r_ref[...])                          # [st*k1, t2]
@@ -753,9 +770,7 @@ def _spec_ds_fold_kernel(ur_ref, ui_ref, fr_ref, fi_ref, a_ref, p_ref,
     st = ds_ref.shape[0]
     n = n1 * n2
     n2h = n2 // 2
-    dot = partial(jax.lax.dot_general,
-                  dimension_numbers=(((1,), (0,)), ((), ())),
-                  preferred_element_type=jnp.float32, precision=prec)
+    dot = _kdot(prec)
     # ---- channel FMA for THIS basis dim -> spec [st, Rp] ----
     # U rows are per-tile in "net" ([st, ...]) and shared in "sub"
     # ([1, ...]); F is the mirror image — broadcasting unifies both.
@@ -1006,9 +1021,7 @@ def _rfft_ct_half_kernel(x_ref, w2r_ref, w2i_ref, twr_ref, twi_ref,
     n//2 are mirror-frequency values (callers treat them as inert)."""
     st = or_ref.shape[0]
     n1h = n1 // 2 + 1
-    dot = partial(jax.lax.dot_general,
-                  dimension_numbers=(((1,), (0,)), ((), ())),
-                  preferred_element_type=jnp.float32, precision=prec)
+    dot = _kdot(prec)
     x = x_ref[...].reshape(st, n2, n1)
     x = jnp.swapaxes(x, 1, 2).reshape(st * n1, n2)     # [st*k1, k2]
     ar = dot(x, w2r_ref[...])                          # [st*k1, t2]
