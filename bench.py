@@ -44,8 +44,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 # headline subspace-scan chunk length (hours). conDatDuration is a free
 # parameter of the production engine; longer chunks amortize this
-# backend's per-op fixed overhead (PERF.md).
-SUBSPACE_CHUNK_HOURS = float(os.environ.get("BENCH_CHUNK_HOURS", "1"))
+# backend's per-op fixed overhead. 2 h chunks at a 128-chunk fold
+# measured fastest with the fused spec->DS kernel (PERF.md round 3b);
+# 1 h was better on the pre-fused fold path.
+SUBSPACE_CHUNK_HOURS = float(os.environ.get("BENCH_CHUNK_HOURS", "2"))
 
 
 def _log(msg):
@@ -108,8 +110,8 @@ def bench_scan(mode="subspace"):
         thresholds = np.full(S, 0.99, np.float32)
         # chunks per launch: amortizes the tunnel launch latency (the
         # fused spec->DS kernel removed the per-chunk HBM intermediates
-        # that used to cap this)
-        B = int(os.environ.get("BENCH_B", "4"))
+        # that used to cap this; measured B=4 -> 0.342, B=8 -> 0.387)
+        B = int(os.environ.get("BENCH_B", "8"))
         iters = 8
         n_data = 8
     else:
@@ -124,10 +126,11 @@ def bench_scan(mode="subspace"):
         bank = dsops.build_bank([U], nc, Lc, prefer_os=True)
         thresholds = np.full(1, 0.99, np.float32)
         # chunks per device call; the fold path amortizes per-op fixed
-        # cost over the whole batch, so bigger is better until HBM caps it
-        # (measured: B=16 -> 16.3, B=64 -> 21.7, B=128 -> 27.3 st-d/s)
+        # cost over the whole batch, so bigger is better until HBM caps
+        # it (fused spec->DS path: 1h B=128 -> 37.3, 1h B=256 -> 40.2,
+        # 2h B=128 -> 47.7 st-d/s)
         B = int(os.environ.get(
-            "BENCH_B", str(max(1, int(round(128 / SUBSPACE_CHUNK_HOURS))))))
+            "BENCH_B", str(max(1, int(round(256 / SUBSPACE_CHUNK_HOURS))))))
         iters = 2
         n_data = 4
     # distinct inputs per iteration + a dependency chain between steps:

@@ -181,17 +181,23 @@ class _SSDetex(object):
         for name in sorted(det):
             by_n.setdefault(det[name]["n"], []).append(name)
         pad_len = int(dataLength * samplingRate * Nc)
-        # on TPU (without devicePrep, which needs full-length spectra for
-        # its fused spectral filter) prefer overlap-save banks: the
-        # fold-batch scan (parallel/scan.py) folds the whole chunk batch
-        # into each op and runs the block DFTs as flat MXU matmuls
-        prefer_os = (not self.devicePrep) and _ds._use_pallas()
+        # on TPU prefer overlap-save banks: the fold-batch / fused
+        # spec->DS scan (parallel/scan.py) folds the whole chunk batch
+        # into each op and runs the block DFTs as flat MXU matmuls.
+        # devicePrep rides them too (scan_chunks_raw splits the batched
+        # device prep from the fold scan) EXCEPT on a multi-device mesh,
+        # where the raw sharded path still needs full-length spectra.
+        from detex_tpu.parallel import scan as _pscan
+        mesh = _pscan.engine_mesh()
+        dp_os_ok = mesh is None or mesh.size <= 1
+        prefer_os = _ds._use_pallas() and \
+            ((not self.devicePrep) or dp_os_ok)
         for n, names in sorted(by_n.items()):
             bank = _ds.build_bank([det[nm]["U"] for nm in names], Nc,
                                   pad_len, prefer_os=prefer_os)
             bank["names"] = names
             if self.devicePrep:
-                if not bank.get("demux") or bank.get("os"):
+                if not bank.get("demux"):
                     detex_tpu.log(__name__, "devicePrep requires template "
                                   "lengths divisible by the channel count; "
                                   "falling back to host prep",
@@ -200,10 +206,17 @@ class _SSDetex(object):
                 else:
                     # samplingRate is the (possibly decimated) template
                     # rate; H acts on the raw chunk at raw rate over
-                    # dec * nfft2 bins
+                    # dec * nfftp bins. OS banks carry no full-length
+                    # FFT size, so recompute it with the demux-bank
+                    # formula (H is then bit-identical either way).
                     dec = self.dpDec
                     raw_sr = samplingRate * dec
-                    nbins = dec * bank["nfft2"]
+                    if bank.get("os"):
+                        nfftp = 2 ** int(
+                            pad_len // Nc + bank["n_c"]).bit_length()
+                    else:
+                        nfftp = bank["nfft2"]
+                    nbins = dec * nfftp
                     if self.filt is not None:
                         if self.filt[1] >= samplingRate / 2.0 and dec > 1:
                             detex_tpu.log(

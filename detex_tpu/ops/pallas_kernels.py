@@ -53,6 +53,18 @@ def _kdot(prec):
                    preferred_element_type=jnp.float32, precision=prec)
 
 
+
+def _auto_interpret(interpret):
+    """Pallas kernels run compiled on TPU and in interpret mode
+    elsewhere (CPU CI forces routing with DETEX_TPU_PALLAS=1)."""
+    if interpret is not None:
+        return interpret
+    try:
+        return jax.default_backend() != "tpu"
+    except Exception:  # pragma: no cover
+        return True
+
+
 def _finalize_kernel(cc_ref, a_ref, power_ref, sum_u_ref, out_ref):
     cc = cc_ref[...]                    # [SD, T]
     a = a_ref[...]                      # [1, T]
@@ -66,7 +78,7 @@ def _finalize_kernel(cc_ref, a_ref, power_ref, sum_u_ref, out_ref):
 
 
 @partial(jax.jit, static_argnames=("tile", "interpret"))
-def ds_finalize(cc, a, power, sum_u, tile=DEFAULT_TILE, interpret=False):
+def ds_finalize(cc, a, power, sum_u, tile=DEFAULT_TILE, interpret=None):
     """
     Fused DS finalize.
 
@@ -81,6 +93,7 @@ def ds_finalize(cc, a, power, sum_u, tile=DEFAULT_TILE, interpret=False):
     -------
     ds [S, L]
     """
+    interpret = _auto_interpret(interpret)
     S, D, L = cc.shape
     # cap the tile so all VMEM-resident blocks (cc in, ds out, a, power,
     # sum_u + double buffering) stay well under the ~16 MB VMEM budget
@@ -160,7 +173,7 @@ def _hist_kernel(ds_ref, kio_ref, out_ref, *, nbin):
 
 
 @partial(jax.jit, static_argnames=("nbin", "tile", "interpret"))
-def hist_uniform(ds, nbin=400, tile=2048, interpret=False):
+def hist_uniform(ds, nbin=400, tile=2048, interpret=None):
     """
     Exact uniform-bin histogram of each DS row over [0, 1]:
     ds [S, L] -> counts [S, nbin] (float32; integral values).
@@ -173,6 +186,7 @@ def hist_uniform(ds, nbin=400, tile=2048, interpret=False):
     of a bin edge — statistically irrelevant for the FAS fits and hist
     tables this feeds.
     """
+    interpret = _auto_interpret(interpret)
     S, L = ds.shape
     g = int(round(nbin ** 0.5))
     assert g * g == nbin, "nbin must be a perfect square"
@@ -240,11 +254,7 @@ def irfft_ct_fused(zr, zi, n, interpret=None):
     """Fused-stage matmul inverse DFT of the hermitian-extended spectrum:
     zr/zi [N, n] -> real output [N, n] == jnp.fft.irfft of the original
     [N, n//2+1] spectrum. Requires n1 == 128 (ops/dft._split)."""
-    if interpret is None:
-        try:
-            interpret = jax.default_backend() != "tpu"
-        except Exception:  # pragma: no cover
-            interpret = True
+    interpret = _auto_interpret(interpret)
     from detex_tpu.ops import dft as _dft
     n1, n2 = _dft._split(n)
     assert n1 == 128, "fused CT kernel requires n1 == 128"
@@ -314,11 +324,7 @@ def rfft_ct_fused(x, n, interpret=None):
     """Fused-stage matmul forward DFT of real input x [N, n] (pre-padded):
     returns (fr, fi) [N, n] full-width; fr[:, :n//2+1] + i*fi[:, :n//2+1]
     == jnp.fft.rfft(x, n). Requires n1 == 128."""
-    if interpret is None:
-        try:
-            interpret = jax.default_backend() != "tpu"
-        except Exception:  # pragma: no cover
-            interpret = True
+    interpret = _auto_interpret(interpret)
     from detex_tpu.ops import dft as _dft
     n1, n2 = _dft._split(n)
     assert n1 == 128, "fused CT kernel requires n1 == 128"
@@ -418,7 +424,7 @@ def _finalize_os_scan_kernel(cb_ref, a_ref, power_ref, sum_u_ref, nv_ref,
 
 @partial(jax.jit, static_argnames=("head", "D", "W", "nbin", "interpret"))
 def ds_finalize_os_scan(cb, a, power, sum_u, nv, head, D, W, nbin=0,
-                        interpret=False):
+                        interpret=None):
     """
     ds_finalize_os + fused pad-window masking + trigger-pyramid block
     maxima: returns (ds [S, m*W] with positions >= nv at -inf,
@@ -431,6 +437,7 @@ def ds_finalize_os_scan(cb, a, power, sum_u, nv, head, D, W, nbin=0,
     (floor rule, right edge inclusive, out-of-range excluded) accumulates
     in the same VMEM pass instead of a separate counting-kernel launch.
     """
+    interpret = _auto_interpret(interpret)
     SD, m, blk = cb.shape
     S = SD // D
     assert a.shape[0] == m * W and power.shape[0] == m * W
@@ -672,7 +679,7 @@ def os_finalize_tile_rows(S, D, blk):
 
 
 @partial(jax.jit, static_argnames=("head", "D", "W", "interpret"))
-def ds_finalize_os(cb, a, power, sum_u, head, D, W, interpret=False):
+def ds_finalize_os(cb, a, power, sum_u, head, D, W, interpret=None):
     """
     Fused DS finalize over RAW overlap-save irfft blocks.
 
@@ -698,6 +705,7 @@ def ds_finalize_os(cb, a, power, sum_u, head, D, W, interpret=False):
     -------
     ds [S, m*W]; the caller slices to the true output length.
     """
+    interpret = _auto_interpret(interpret)
     SD, m, blk = cb.shape
     S = SD // D
     assert a.shape[0] == m * W and power.shape[0] == m * W
@@ -907,11 +915,7 @@ def spec_ds_fold(ur, ui, fr, fi, a, power, sum_u, nv, mode, nc, D, W, head,
     mode "sub" — rows (template, chunk), B % 8 == 0:
       same arrays; returns ds [S*B, m*W] (rows (s, b)), pyr, hist likewise
     """
-    if interpret is None:
-        try:
-            interpret = jax.default_backend() != "tpu"
-        except Exception:  # pragma: no cover
-            interpret = True
+    interpret = _auto_interpret(interpret)
     from detex_tpu.ops import dft as _dft
     n1, n2 = _dft._split(blk)
     Rp = (n1 // 2 + 1) * n2
@@ -1049,11 +1053,7 @@ def rfft_ct_half(x, n, interpret=None):
     """Fused matmul forward DFT of real x [N, n] emitting the padded half
     spectrum (fr, fi) [N, Rp], Rp = (n1//2+1)*n2 == dft.half_rp(n):
     fr[:, :n//2+1] + i*fi[:, :n//2+1] == rfft(x, n). Requires n1 == 128."""
-    if interpret is None:
-        try:
-            interpret = jax.default_backend() != "tpu"
-        except Exception:  # pragma: no cover
-            interpret = True
+    interpret = _auto_interpret(interpret)
     from detex_tpu.ops import dft as _dft
     n1, n2 = _dft._split(n)
     assert n1 == 128, "fused CT kernel requires n1 == 128"

@@ -128,6 +128,47 @@ def ds_bank_demux_raw(xc, Lv, H, Ufd2, sum_u, d_mask, n_c, nc, nfft2,
     return num / powsafe[None, :]
 
 
+@partial(jax.jit, static_argnames=("nfftp", "dec", "nc"))
+def prep_multiplex_batch(Xc, LV, H, nfftp, dec, nc):
+    """
+    Batched device preprocessing producing MULTIPLEXED chunks for the
+    fold-batch / fused spec->DS scan path: the devicePrep engine's
+    monolithic per-chunk kernel (ds_bank_demux_raw) needs full-length
+    spectra and therefore could not ride the overlap-save fold scan;
+    splitting prep from scan gives devicePrep runs the same fold wins.
+
+    Xc : [B, nc, L_raw] raw channels (zero-padded rows)
+    LV : [B] int32 true per-channel RAW sample counts
+    H  : rfft response over dec*nfftp bins (real = zerophase |H|^2),
+         same butter_response contract as ds_bank_demux_raw
+    nfftp : per-channel FFT length at the DECIMATED rate (>= L_c + n_c,
+         the same formula the demux banks use, so H is bit-identical to
+         the monolithic path's)
+    dec : on-device decimation by spectral truncation
+
+    Returns (X [B, L_c*nc] multiplexed filtered channels with pad
+    samples zeroed, lens [B] valid MULTIPLEXED sample counts). The fold
+    scan re-standardizes each chunk (the DS is affine-invariant), so no
+    standardization happens here.
+    """
+    B, nch, L_raw = Xc.shape
+    L_c = L_raw // dec
+    xd = jax.vmap(_masked_detrend)(Xc, LV)
+    F = jnp.fft.rfft(xd, dec * nfftp, axis=-1)
+    Ff = F * H[None, None, :]
+    if dec > 1:
+        Ff = Ff[:, :, : nfftp // 2 + 1]
+    LVd = LV // dec
+    xf = jnp.fft.irfft(Ff, nfftp, axis=-1)[:, :, :L_c]
+    # zero the pad region: filter ringing past the valid samples would
+    # otherwise leak into the (masked) pad windows' rolling stats
+    i = jnp.arange(L_c)
+    w = (i[None, :] < LVd[:, None]).astype(xf.dtype)
+    xf = xf * w[:, None, :]
+    X = jnp.swapaxes(xf, 1, 2).reshape(B, L_c * nch)   # multiplex
+    return X, LVd * nch
+
+
 def run_bank_raw(chans, bank, nc, H, dec=1):
     """
     Host wrapper: raw channel stack [nc, L_raw] -> DS [S, n_valid] through

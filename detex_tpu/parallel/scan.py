@@ -628,11 +628,25 @@ def scan_chunks_raw(Xc, lens, H, bank, thresholds, nc, buff_samps,
                                        nc, buff_samps, bins=bins,
                                        max_trig=max_trig, dec=dec,
                                        calc_hist=calc_hist)
+    if bank.get("os"):
+        # overlap-save bank: run the batched device prep (detrend +
+        # spectral bandpass + decimation) as its own jit producing
+        # multiplexed chunks, then the fold-batch / fused spec->DS scan —
+        # the monolithic per-chunk raw kernel below needs full-length
+        # spectra and would forfeit the fold path's wins (PERF.md).
+        from detex_tpu.ops import prep as _prep
+        nfftp = (int(H.shape[0]) - 1) * 2 // int(dec)
+        X, _ = _prep.prep_multiplex_batch(
+            jnp.asarray(Xc, jnp.float32),
+            jnp.asarray(lens, jnp.int32), H, nfftp, int(dec), int(nc))
+        lens_mux = [(int(v) // int(dec)) * int(nc) for v in lens]
+        return scan_chunks(X, bank, thresholds, nc, buff_samps, bins=bins,
+                           max_trig=max_trig, valid_lens=lens_mux,
+                           calc_hist=calc_hist)
     if bins is None:
         bins = DEFAULT_BINS
-    if not bank.get("demux") or bank.get("os"):
-        raise ValueError("scan_chunks_raw requires a (non-overlap-save) "
-                         "demuxed bank")
+    if not bank.get("demux"):
+        raise ValueError("scan_chunks_raw requires a demuxed bank")
     arrs = (bank["Ufd2"], bank["sum_u"], bank["d_mask"])
     return _scan_chunks_raw_jit(
         jnp.asarray(Xc, jnp.float32), jnp.asarray(lens, jnp.int32), H,

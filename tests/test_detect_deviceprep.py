@@ -115,3 +115,28 @@ def test_deviceprep_matches_host_detections(ss):
     hh = util.loadSQLite(db_host, "ss_hist")
     dh = util.loadSQLite(db_dev, "ss_hist")
     assert hh is not None and dh is not None
+
+
+def test_deviceprep_fold_route_matches_host(ss, monkeypatch):
+    """With Pallas routing forced on, devicePrep builds OVERLAP-SAVE
+    banks and rides the fold-batch scan through the split batched-prep
+    path (scan_chunks_raw -> prep_multiplex_batch -> scan_chunks) —
+    detections must match the host-prep path like the monolithic kernel
+    does."""
+    monkeypatch.setenv("DETEX_TPU_PALLAS", "1")
+    # single-device: on a mesh the devicePrep path keeps full-length
+    # banks for the raw sharded scan (detect._prepareDetectors)
+    monkeypatch.setenv("DETEX_TPU_MESH", "0")
+    s, wd = ss
+    db_host = str(wd / "host_fold.db")
+    db_dev = str(wd / "dev_fold.db")
+    s.detex(subspaceDB=db_host, estimateMags=False)
+    s.detex(subspaceDB=db_dev, estimateMags=False, devicePrep=True)
+    host = util.loadSQLite(db_host, "ss_df")
+    dev = util.loadSQLite(db_dev, "ss_df")
+    assert host is not None and dev is not None
+    assert len(host) == len(dev)
+    host = host.sort_values("STMP").reset_index(drop=True)
+    dev = dev.sort_values("STMP").reset_index(drop=True)
+    assert (abs(host.STMP - dev.STMP) < 0.2).all()
+    assert (abs(host.DS - dev.DS) < 1e-3).all()
