@@ -305,10 +305,16 @@ def _fold_scan_ok(bank, st, X, calc_hist, bins_uniform_nbin):
         return False
     B = int(X.shape[0])
     Dmax = int(bank["Dmax"])
-    # HBM guard: the folded irfft intermediate is [B, S, Dmax, m, blk] f32
-    # (plus a complex spectra array twice that size)
     L_c = int(X.shape[1]) // st["nc"]
     _, _, _, W, m = _ds._os_geometry(L_c, st["n_c"], st["nfft"])
+    if _ds.spec_ds_mode(B, st["S"], Dmax, st["n_c"], st["nc"],
+                        st["nfft"]):
+        # fused spec->DS kernel: no cb/spectra intermediates — only the
+        # DS output itself needs to fit (plus inputs; ~6 GB ceiling on a
+        # 16 GB chip)
+        return B * st["S"] * m * W * 4 <= (6 << 30)
+    # HBM guard: the folded irfft intermediate is [B, S, Dmax, m, blk]
+    # f32 (plus a complex spectra array twice that size)
     if B * st["S"] * Dmax * m * st["nfft"] * 4 > (2 << 30):
         return False
     return _ds.fold_scan_supported(B, st["S"], Dmax, st["n_c"], st["nfft"])
@@ -401,6 +407,10 @@ def _fold_scan_blocked_ok(bank, st, X, bins_uniform_nbin):
     Dmax = int(bank["Dmax"])
     L_c = int(X.shape[1]) // st["nc"]
     _, _, _, W, m = _ds._os_geometry(L_c, st["n_c"], st["nfft"])
+    if _ds.spec_ds_mode(B, TEMPLATE_BLOCK, Dmax, st["n_c"], st["nc"],
+                        st["nfft"]) == "net":
+        # fused kernel: only the per-block DS output must fit
+        return B * TEMPLATE_BLOCK * m * W * 4 <= (6 << 30)
     if B * TEMPLATE_BLOCK * Dmax * m * st["nfft"] * 4 > (2 << 30):
         return False
     return _ds.fold_scan_supported(B, TEMPLATE_BLOCK, Dmax, st["n_c"],
