@@ -105,7 +105,10 @@ def bench_scan(mode="subspace"):
         T = rng.standard_normal((S, n))
         U_list = [np.ascontiguousarray(
             (t / np.linalg.norm(t))[None, :]) for t in T]
-        bank = dsops.build_bank(U_list, nc, Lc)
+        blk_env = os.environ.get("BENCH_BLK")
+        bank = dsops.build_bank(U_list, nc, Lc,
+                                block_fft=int(blk_env) if blk_env
+                                else None)
         assert bank.get("os"), "1000-template bank should be overlap-save"
         thresholds = np.full(S, 0.99, np.float32)
         # chunks per launch: amortizes the tunnel launch latency (the
@@ -123,7 +126,10 @@ def bench_scan(mode="subspace"):
         U = np.ascontiguousarray(q[:, :D].T)
         # overlap-save bank -> the fold-batch scan path (the production
         # engine builds the same bank shape on TPU; ops/ds.py)
-        bank = dsops.build_bank([U], nc, Lc, prefer_os=True)
+        blk_env = os.environ.get("BENCH_BLK")
+        bank = dsops.build_bank([U], nc, Lc, prefer_os=True,
+                                block_fft=int(blk_env) if blk_env
+                                else None)
         thresholds = np.full(1, 0.99, np.float32)
         # chunks per device call; the fold path amortizes per-op fixed
         # cost over the whole batch, so bigger is better until HBM caps
