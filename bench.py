@@ -146,8 +146,13 @@ def bench_scan(mode="subspace"):
           for i in range(n_data)]
     buff = int(20 * sr)
 
+    # BENCH_HIST=0 drops the fused in-kernel histogram (profiling knob:
+    # measures the hist share of the spec->DS kernel)
+    calc_hist = os.environ.get("BENCH_HIST", "1") != "0"
+
     def step(X):
-        return pscan.scan_chunks(X, bank, thresholds, nc, buff, max_trig=16)
+        return pscan.scan_chunks(X, bank, thresholds, nc, buff, max_trig=16,
+                                 calc_hist=calc_hist)
 
     # warmup/compile. NOTE the sync: on this tunneled backend
     # jax.block_until_ready returns BEFORE remote execution completes

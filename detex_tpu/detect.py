@@ -184,14 +184,10 @@ class _SSDetex(object):
         # on TPU prefer overlap-save banks: the fold-batch / fused
         # spec->DS scan (parallel/scan.py) folds the whole chunk batch
         # into each op and runs the block DFTs as flat MXU matmuls.
-        # devicePrep rides them too (scan_chunks_raw splits the batched
-        # device prep from the fold scan) EXCEPT on a multi-device mesh,
-        # where the raw sharded path still needs full-length spectra.
-        from detex_tpu.parallel import scan as _pscan
-        mesh = _pscan.engine_mesh()
-        dp_os_ok = mesh is None or mesh.size <= 1
-        prefer_os = _ds._use_pallas() and \
-            ((not self.devicePrep) or dp_os_ok)
+        # devicePrep rides them too: scan_chunks_raw splits the batched
+        # device prep from the fold scan, and on a multi-device mesh the
+        # prep runs inside the shard body (scan_chunks_raw_sharded).
+        prefer_os = _ds._use_pallas()
         for n, names in sorted(by_n.items()):
             bank = _ds.build_bank([det[nm]["U"] for nm in names], Nc,
                                   pad_len, prefer_os=prefer_os)

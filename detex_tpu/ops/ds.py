@@ -580,18 +580,28 @@ def bank_spec_pair(bank):
     (basis-dim-major — the fused kernel's grid sweeps basis dims on its
     innermost axis) for the fused spec->DS kernel, cached on the bank
     dict. Masked basis slots are identically zero (rfft of the
-    zero-padded Ud rows)."""
+    zero-padded Ud rows).
+
+    The half-spectrum inverse weights c_k/n (c_0 = c_{n/2} = 1 else 2,
+    divided by the block length) are FOLDED IN here: the FMA inside
+    spec_ds_fold then yields the weighted Z directly, saving the kernel
+    two [st, Rp] multiplies, an iota/where and the final 1/n scale per
+    grid cell."""
     if "_spec_pair" not in bank:
         from detex_tpu.ops import dft as _dft
         Ufd2 = bank["Ufd2"]
+        blk = bank["blk_fft"]
         R = Ufd2.shape[-1]
-        Rp = _dft.half_rp(bank["blk_fft"])
+        Rp = _dft.half_rp(blk)
+        k = np.arange(Rp)
+        wk = np.where((k == 0) | (k >= blk // 2), 1.0, 2.0) / blk
+        wk = jnp.asarray(wk, jnp.float32)
         pad = [(0, 0)] * (Ufd2.ndim - 1) + [(0, Rp - R)]
         bank["_spec_pair"] = (
-            jnp.pad(jnp.real(Ufd2).astype(jnp.float32),
-                    pad).transpose(1, 0, 2, 3),
-            jnp.pad(jnp.imag(Ufd2).astype(jnp.float32),
-                    pad).transpose(1, 0, 2, 3))
+            (jnp.pad(jnp.real(Ufd2).astype(jnp.float32), pad)
+             * wk).transpose(1, 0, 2, 3),
+            (jnp.pad(jnp.imag(Ufd2).astype(jnp.float32), pad)
+             * wk).transpose(1, 0, 2, 3))
     return bank["_spec_pair"]
 
 

@@ -14,6 +14,7 @@ cc is identically 0, so y == 0 and they drop out of the sum naturally.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -164,8 +165,8 @@ def _hist_kernel(ds_ref, kio_ref, out_ref, *, nbin):
     # strictly 2-D ops: [1, T] row slices against the [g, 1] bin column
     # broadcast to [g, T] one-hots (Mosaic rejects 1-D reshapes)
     for s in range(v.shape[0]):                       # static unroll
-        A = (coarse[s:s + 1, :] == kio).astype(jnp.float32)  # [g, T]
-        B = (fine[s:s + 1, :] == kio).astype(jnp.float32)
+        A = (coarse[s:s + 1, :] == kio).astype(jnp.bfloat16)  # [g, T]
+        B = (fine[s:s + 1, :] == kio).astype(jnp.bfloat16)
         cnt = jax.lax.dot_general(
             A, B, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)       # [g, g]
@@ -211,41 +212,36 @@ def hist_uniform(ds, nbin=400, tile=2048, interpret=None):
     return out.reshape(S, nbin)
 
 
-def _irfft_ct_kernel(zr_ref, zi_ref, w2r_ref, w2i_ref, twr_ref, twi_ref,
-                     w1rt_ref, w1it_ref, out_ref, *, n1, n2, prec):
+def _irfft_ct_kernel(zr_ref, zi_ref, w2p_ref, twr_ref, twi_ref,
+                     w1p_ref, out_ref, *, n1, n2, prec):
     """One fused Cooley-Tukey inverse transform pass: both matmul stages,
     the twiddle, and the real-part extraction run on VMEM-resident tiles
     (ops/dft.py decomposition; Z is the pre-built hermitian extension).
 
     Layout walk (n = n1*n2, k = k1 + n1*k2, t = n2*t1 + t2):
       z [st, n] -> [st, k2, k1] -> swap -> [st, k1, k2]
-      stage 1 (contract k2):   A[st*k1, t2] = Z @ W2
+      stage 1 (contract k2, PACKED): [Zr|Zi] @ [[w2r, w2i], [-w2i, w2r]]
       twiddle:                 B = A * tw[k1, t2]
-      swap to [st, t2, k1]; stage 2 (contract k1, REAL part only):
-      xT[st*t2, t1] = Br @ W1r^T - Bi @ W1i^T
+      swap to [st, t2, k1]; stage 2 (contract k1, REAL part only,
+      PACKED): xT[st*t2, t1] = [Br|Bi] @ [[W1r^T], [-W1i^T]]
       swap back -> [st, t1, t2] -> [st, n], scale 1/n.
-    """
+    Packed dots: 6 -> 2 per tile (per-dot fixed latency dominates on
+    this backend; full-depth contractions feed the MXU better)."""
     st = out_ref.shape[0]
     dot = _kdot(prec)
-    zr = zr_ref[...].reshape(st, n2, n1)
-    zi = zi_ref[...].reshape(st, n2, n1)
-    zr = jnp.swapaxes(zr, 1, 2).reshape(st * n1, n2)   # [st*k1, k2]
-    zi = jnp.swapaxes(zi, 1, 2).reshape(st * n1, n2)
-    w2r = w2r_ref[...]
-    w2i = w2i_ref[...]
-    ar = dot(zr, w2r) - dot(zi, w2i)                   # [st*k1, t2]
-    ai = dot(zr, w2i) + dot(zi, w2r)
-    twr = twr_ref[...]                                 # [k1, t2]
+    zz = jnp.concatenate([zr_ref[...].reshape(st, n2, n1),
+                          zi_ref[...].reshape(st, n2, n1)], axis=1)
+    zz = jnp.swapaxes(zz, 1, 2).reshape(st * n1, 2 * n2)   # [st*k1, zr|zi]
+    aa = dot(zz, w2p_ref[...])                             # [st*k1, ar|ai]
+    twr = twr_ref[...]                                     # [k1, t2]
     twi = twi_ref[...]
-    ar3 = ar.reshape(st, n1, n2)
-    ai3 = ai.reshape(st, n1, n2)
+    ar3 = aa[:, :n2].reshape(st, n1, n2)
+    ai3 = aa[:, n2:].reshape(st, n1, n2)
     br = ar3 * twr - ai3 * twi
     bi = ar3 * twi + ai3 * twr
-    br = jnp.swapaxes(br, 1, 2).reshape(st * n2, n1)   # [st*t2, k1]
-    bi = jnp.swapaxes(bi, 1, 2).reshape(st * n2, n1)
-    # real part of W1 @ B, transposed: xT = Br W1r^T - Bi W1i^T
-    xr = dot(br, w1rt_ref[...]) - dot(bi, w1it_ref[...])  # [st*t2, t1]
-    xr = jnp.swapaxes(xr.reshape(st, n2, n1), 1, 2)       # [st, t1, t2]
+    bb = jnp.swapaxes(jnp.concatenate([br, bi], axis=1), 1, 2)
+    xr = dot(bb.reshape(st * n2, 2 * n1), w1p_ref[...])    # [st*t2, t1]
+    xr = jnp.swapaxes(xr.reshape(st, n2, n1), 1, 2)        # [st, t1, t2]
     out_ref[...] = xr.reshape(st, n1 * n2) * (1.0 / (n1 * n2))
 
 
@@ -260,6 +256,8 @@ def irfft_ct_fused(zr, zi, n, interpret=None):
     assert n1 == 128, "fused CT kernel requires n1 == 128"
     (w2r, w2i), (twr, twi), (w1r, w1i) = _dft._ct_mats(n, True)
     prec = _dft._precision_mosaic()
+    w2p = np.block([[w2r, w2i], [-w2i, w2r]])
+    w1p = np.concatenate([w1r.T, -w1i.T], axis=0)
     N = zr.shape[0]
     st = 8
     Np = (N + st - 1) // st * st
@@ -267,12 +265,10 @@ def irfft_ct_fused(zr, zi, n, interpret=None):
         zr = jnp.pad(zr, ((0, Np - N), (0, 0)))
         zi = jnp.pad(zi, ((0, Np - N), (0, 0)))
     const = lambda j: (0, 0)                              # noqa: E731
-    cspec = [pl.BlockSpec(w2r.shape, const, memory_space=_VMEM),
-             pl.BlockSpec(w2i.shape, const, memory_space=_VMEM),
+    cspec = [pl.BlockSpec(w2p.shape, const, memory_space=_VMEM),
              pl.BlockSpec(twr.shape, const, memory_space=_VMEM),
              pl.BlockSpec(twi.shape, const, memory_space=_VMEM),
-             pl.BlockSpec(w1r.T.shape, const, memory_space=_VMEM),
-             pl.BlockSpec(w1i.T.shape, const, memory_space=_VMEM)]
+             pl.BlockSpec(w1p.shape, const, memory_space=_VMEM)]
     out = pl.pallas_call(
         partial(_irfft_ct_kernel, n1=n1, n2=n2, prec=prec),
         grid=(Np // st,),
@@ -284,37 +280,33 @@ def irfft_ct_fused(zr, zi, n, interpret=None):
                                memory_space=_VMEM),
         out_shape=jax.ShapeDtypeStruct((Np, n), jnp.float32),
         interpret=interpret,
-    )(zr, zi, jnp.asarray(w2r), jnp.asarray(w2i), jnp.asarray(twr),
-      jnp.asarray(twi), jnp.asarray(np.ascontiguousarray(w1r.T)),
-      jnp.asarray(np.ascontiguousarray(w1i.T)))
+    )(zr, zi, jnp.asarray(np.ascontiguousarray(w2p)), jnp.asarray(twr),
+      jnp.asarray(twi), jnp.asarray(np.ascontiguousarray(w1p)))
     return out[:N]
 
 
-def _rfft_ct_kernel(x_ref, w2r_ref, w2i_ref, twr_ref, twi_ref, w1rt_ref,
-                    w1it_ref, or_ref, oi_ref, *, n1, n2, prec):
+def _rfft_ct_kernel(x_ref, w2p_ref, twr_ref, twi_ref, w1p_ref,
+                    or_ref, oi_ref, *, n1, n2, prec):
     """Forward twin of _irfft_ct_kernel for REAL input (zi == 0: stage 1
-    needs only two matmuls). Emits the full-width complex spectrum as a
-    (real, imag) pair; the caller slices to n//2+1."""
+    needs only one packed matmul against [w2r | w2i]). Emits the
+    full-width complex spectrum as a (real, imag) pair via ONE packed
+    stage-2 dot against [[w1rt, w1it], [-w1it, w1rt]] (output splits at
+    the lane-aligned n1); the caller slices to n//2+1."""
     st = or_ref.shape[0]
     dot = _kdot(prec)
     x = x_ref[...].reshape(st, n2, n1)
     x = jnp.swapaxes(x, 1, 2).reshape(st * n1, n2)     # [st*k1, k2]
-    ar = dot(x, w2r_ref[...])                          # [st*k1, t2]
-    ai = dot(x, w2i_ref[...])
+    aa = dot(x, w2p_ref[...])                          # [st*k1, ar|ai]
     twr = twr_ref[...]
     twi = twi_ref[...]
-    ar3 = ar.reshape(st, n1, n2)
-    ai3 = ai.reshape(st, n1, n2)
+    ar3 = aa[:, :n2].reshape(st, n1, n2)
+    ai3 = aa[:, n2:].reshape(st, n1, n2)
     br = ar3 * twr - ai3 * twi
     bi = ar3 * twi + ai3 * twr
-    br = jnp.swapaxes(br, 1, 2).reshape(st * n2, n1)   # [st*t2, k1]
-    bi = jnp.swapaxes(bi, 1, 2).reshape(st * n2, n1)
-    w1rt = w1rt_ref[...]
-    w1it = w1it_ref[...]
-    xr = dot(br, w1rt) - dot(bi, w1it)                 # [st*t2, t1]
-    xi = dot(br, w1it) + dot(bi, w1rt)
-    xr = jnp.swapaxes(xr.reshape(st, n2, n1), 1, 2)
-    xi = jnp.swapaxes(xi.reshape(st, n2, n1), 1, 2)
+    bb = jnp.swapaxes(jnp.concatenate([br, bi], axis=1), 1, 2)
+    xx = dot(bb.reshape(st * n2, 2 * n1), w1p_ref[...])  # [st*t2, xr|xi]
+    xr = jnp.swapaxes(xx[:, :n1].reshape(st, n2, n1), 1, 2)
+    xi = jnp.swapaxes(xx[:, n1:].reshape(st, n2, n1), 1, 2)
     or_ref[...] = xr.reshape(st, n1 * n2)
     oi_ref[...] = xi.reshape(st, n1 * n2)
 
@@ -330,18 +322,18 @@ def rfft_ct_fused(x, n, interpret=None):
     assert n1 == 128, "fused CT kernel requires n1 == 128"
     (w2r, w2i), (twr, twi), (w1r, w1i) = _dft._ct_mats(n, False)
     prec = _dft._precision_mosaic()
+    w2p = np.concatenate([w2r, w2i], axis=1)
+    w1p = np.block([[w1r.T, w1i.T], [-w1i.T, w1r.T]])
     N = x.shape[0]
     st = 8
     Np = (N + st - 1) // st * st
     if Np != N:
         x = jnp.pad(x, ((0, Np - N), (0, 0)))
     const = lambda j: (0, 0)                              # noqa: E731
-    cspec = [pl.BlockSpec(w2r.shape, const, memory_space=_VMEM),
-             pl.BlockSpec(w2i.shape, const, memory_space=_VMEM),
+    cspec = [pl.BlockSpec(w2p.shape, const, memory_space=_VMEM),
              pl.BlockSpec(twr.shape, const, memory_space=_VMEM),
              pl.BlockSpec(twi.shape, const, memory_space=_VMEM),
-             pl.BlockSpec(w1r.T.shape, const, memory_space=_VMEM),
-             pl.BlockSpec(w1i.T.shape, const, memory_space=_VMEM)]
+             pl.BlockSpec(w1p.shape, const, memory_space=_VMEM)]
     fr, fi = pl.pallas_call(
         partial(_rfft_ct_kernel, n1=n1, n2=n2, prec=prec),
         grid=(Np // st,),
@@ -354,9 +346,8 @@ def rfft_ct_fused(x, n, interpret=None):
         out_shape=[jax.ShapeDtypeStruct((Np, n), jnp.float32),
                    jax.ShapeDtypeStruct((Np, n), jnp.float32)],
         interpret=interpret,
-    )(x, jnp.asarray(w2r), jnp.asarray(w2i), jnp.asarray(twr),
-      jnp.asarray(twi), jnp.asarray(np.ascontiguousarray(w1r.T)),
-      jnp.asarray(np.ascontiguousarray(w1i.T)))
+    )(x, jnp.asarray(np.ascontiguousarray(w2p)), jnp.asarray(twr),
+      jnp.asarray(twi), jnp.asarray(np.ascontiguousarray(w1p)))
     return fr[:N], fi[:N]
 
 
@@ -414,8 +405,8 @@ def _finalize_os_scan_kernel(cb_ref, a_ref, power_ref, sum_u_ref, nv_ref,
         fine = idx - coarse * g
         kio = kio_ref[...]              # [g, 1]
         for s in range(S):              # static unroll over tile rows
-            A = (coarse[s:s + 1, :] == kio).astype(jnp.float32)
-            Bf = (fine[s:s + 1, :] == kio).astype(jnp.float32)
+            A = (coarse[s:s + 1, :] == kio).astype(jnp.bfloat16)
+            Bf = (fine[s:s + 1, :] == kio).astype(jnp.bfloat16)
             cnt = jax.lax.dot_general(
                 A, Bf, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -530,8 +521,8 @@ def _finalize_os_fold_kernel(cb_ref, a_ref, power_ref, sum_u_ref, nv_ref,
         fine = idx - coarse * g
         kio = kio_ref[...]              # [g, 1]
         for s in range(st):             # static unroll
-            A = (coarse[s:s + 1, :] == kio).astype(jnp.float32)
-            Bf = (fine[s:s + 1, :] == kio).astype(jnp.float32)
+            A = (coarse[s:s + 1, :] == kio).astype(jnp.bfloat16)
+            Bf = (fine[s:s + 1, :] == kio).astype(jnp.bfloat16)
             cnt = jax.lax.dot_general(
                 A, Bf, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -761,8 +752,8 @@ def ds_finalize_os(cb, a, power, sum_u, head, D, W, interpret=None):
 
 
 def _spec_ds_fold_kernel(ur_ref, ui_ref, fr_ref, fi_ref, a_ref, p_ref,
-                         su_ref, nv_ref, kio_ref, w2hr_ref, w2hi_ref,
-                         twr_ref, twi_ref, w1rt_ref, w1it_ref,
+                         su_ref, nv_ref, kio_ref, w2p_ref,
+                         twr_ref, twi_ref, w1p_ref,
                          ds_ref, pyr_ref, hist_ref, *,
                          mode, nc, D, W, nbin, n1, n2, head, Rp, prec):
     """Grid (row_tiles, m, D) with the basis dim INNERMOST: each step
@@ -772,12 +763,23 @@ def _spec_ds_fold_kernel(ur_ref, ui_ref, fr_ref, fi_ref, a_ref, p_ref,
     The DS output block doubles as the cross-d y^2 accumulator: its index
     map ignores d, so it stays VMEM-resident across the d sweep; the
     finalize (power divide, pad mask, pyramid, histogram) runs at
-    d == D-1."""
+    d == D-1.
+
+    The complex CT stages run as PACKED real dots (this backend's kernel
+    cost is dominated by per-dot fixed latency, not FLOPs): stage 1 is
+    ONE [st*n1, 2*n2h] @ w2p [2*n2h, 2*n2] dot emitting [ar | ai]
+    (w2p = [[w2r, w2i], [-w2i, w2r]]) with a FULL 128-deep contraction
+    instead of 4 half-depth dots; stage 2 is ONE
+    [st*n2, 2*n1] @ w1p [2*n1, n1_kept] dot for the real part. w1p's
+    columns are pre-trimmed to t1 >= head//n2: output times below the
+    OS discard head are never computed."""
     i = pl.program_id(1)
     d = pl.program_id(2)
     st = ds_ref.shape[0]
     n = n1 * n2
     n2h = n2 // 2
+    t1_0 = head // n2              # whole t1 columns below the head
+    off = head - t1_0 * n2         # residual offset inside the kept cols
     dot = _kdot(prec)
     # ---- channel FMA for THIS basis dim -> spec [st, Rp] ----
     # U rows are per-tile in "net" ([st, ...]) and shared in "sub"
@@ -795,37 +797,35 @@ def _spec_ds_fold_kernel(ur_ref, ui_ref, fr_ref, fi_ref, a_ref, p_ref,
         fci = f3i[:, c, :]
         sr = sr + ucr * fcr - uci * fci
         si = si + ucr * fci + uci * fcr
-    # ---- c_k weights (mirror bins past n/2 are sliced away below) ----
-    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, Rp), 1)
-    wk = jnp.where((kidx == 0) | (kidx >= n // 2), 1.0, 2.0)
-    zrd = sr * wk
-    zid = si * wk
-    # ---- half-spectrum CT inverse -> x [st, n] ----
+    # c_k/n inverse weights are pre-folded into the template spectra
+    # (ds.bank_spec_pair), so the FMA output IS the weighted Z
+    zrd, zid = sr, si
+    # ---- half-spectrum CT inverse -> x [st, n1_kept * n2] ----
     zhr = zrd[:, n // 2:n // 2 + 1]                  # Re(Z[n/2]), c=1
-    rr = zrd[:, :n // 2].reshape(st, n2h, n1)
-    ri = zid[:, :n // 2].reshape(st, n2h, n1)
-    rr = jnp.swapaxes(rr, 1, 2).reshape(st * n1, n2h)
-    ri = jnp.swapaxes(ri, 1, 2).reshape(st * n1, n2h)
-    ar = dot(rr, w2hr_ref[...]) - dot(ri, w2hi_ref[...])   # [st*k1, t2]
-    ai = dot(rr, w2hi_ref[...]) + dot(ri, w2hr_ref[...])
-    ar3 = ar.reshape(st, n1, n2)
-    ai3 = ai.reshape(st, n1, n2)
+    # pack (re, im) on the k2 axis BEFORE the transpose: one sublane
+    # concat + ONE transpose feeds the packed stage-1 dot directly
+    zz = jnp.concatenate([zrd[:, :n // 2].reshape(st, n2h, n1),
+                          zid[:, :n // 2].reshape(st, n2h, n1)], axis=1)
+    rri = jnp.swapaxes(zz, 1, 2).reshape(st * n1, 2 * n2h)
+    ap2 = dot(rri, w2p_ref[...])                     # [st*k1, ar|ai]
+    ar3 = ap2[:, :n2].reshape(st, n1, n2)
+    ai3 = ap2[:, n2:].reshape(st, n1, n2)
     twr = twr_ref[...]
     twi = twi_ref[...]
     br = ar3 * twr - ai3 * twi
     bi = ar3 * twi + ai3 * twr
-    br = jnp.swapaxes(br, 1, 2).reshape(st * n2, n1)
-    bi = jnp.swapaxes(bi, 1, 2).reshape(st * n2, n1)
-    xr = dot(br, w1rt_ref[...]) - dot(bi, w1it_ref[...])   # [st*t2, t1]
-    x3 = xr.reshape(st, n2, n1)
+    bb = jnp.swapaxes(jnp.concatenate([br, bi], axis=1), 1, 2)
+    xr = dot(bb.reshape(st * n2, 2 * n1), w1p_ref[...])   # [st*t2, t1_kept]
+    n1k = n1 - t1_0
+    x3 = xr.reshape(st, n2, n1k)
     t2i = jax.lax.broadcasted_iota(jnp.int32, (1, n2, 1), 1)
     alt = jnp.where(t2i % 2 == 0, 1.0, -1.0)
     x3 = x3 + zhr.reshape(st, 1, 1) * alt
-    x = jnp.swapaxes(x3, 1, 2).reshape(st, n) * (1.0 / n)
+    x = jnp.swapaxes(x3, 1, 2).reshape(st, n1k * n2)
     # ---- accumulate y^2 into the resident DS block ----
     a = a_ref[...].reshape(-1, W)
     su = su_ref[...].reshape(-1, 1)                  # [st | 1, 1]
-    y = x[:, head:head + W] - su * a
+    y = x[:, off:off + W] - su * a
     yy = y * y
 
     @pl.when(d == 0)
@@ -860,17 +860,23 @@ def _spec_ds_fold_kernel(ur_ref, ui_ref, fr_ref, fi_ref, a_ref, p_ref,
             coarse = jnp.floor(idx * (1.0 / g))
             fine = idx - coarse * g
             kio = kio_ref[...]
+            # bf16 one-hot operands: 0/1 are exact in bf16 and the f32
+            # accumulator keeps the counts exact, but the dot runs as ONE
+            # MXU pass instead of the multi-pass f32 emulation
             for s in range(st):
-                A = (coarse[s:s + 1, :] == kio).astype(jnp.float32)
-                Bf = (fine[s:s + 1, :] == kio).astype(jnp.float32)
+                A = (coarse[s:s + 1, :] == kio).astype(jnp.bfloat16)
+                Bf = (fine[s:s + 1, :] == kio).astype(jnp.bfloat16)
                 cnt = jax.lax.dot_general(
                     A, Bf, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 hist_ref[s] += cnt
 
 
-SPEC_DS_ST = 8       # rows per tile (chunks x templates; basis dims ride
-                     # the innermost grid axis)
+# rows per tile (chunks x templates; basis dims ride the innermost grid
+# axis). Env-overridable for on-device sweeps: bigger tiles mean larger
+# matmul M dims and fewer per-cell fixed costs, but the U spectra tile
+# (st * nc * Rp * 4 B * 2, double-buffered) grows into the ~16 MB VMEM.
+SPEC_DS_ST = int(os.environ.get("DETEX_TPU_SPECDS_ST", "8"))
 
 
 def spec_ds_supported(mode, B, S, D, nc, n_c, blk):
@@ -920,6 +926,12 @@ def spec_ds_fold(ur, ui, fr, fi, a, power, sum_u, nv, mode, nc, D, W, head,
     n1, n2 = _dft._split(blk)
     Rp = (n1 // 2 + 1) * n2
     (w2hr, w2hi), (twr, twi), (w1r, w1i) = _dft._ct_mats_half(blk, True)
+    # packed complex-as-real CT matrices (see _spec_ds_fold_kernel):
+    # stage 1 [[w2r, w2i], [-w2i, w2r]]; stage 2 real part [[w1r],[-w1i]]
+    # with the columns below the OS discard head pre-trimmed
+    w2p = np.block([[w2hr, w2hi], [-w2hi, w2hr]])
+    t1_0 = head // n2
+    w1p = np.concatenate([w1r.T, -w1i.T], axis=0)[:, t1_0:]
     prec = _dft._precision_mosaic()
     st = SPEC_DS_ST
     B = nv.shape[0]
@@ -970,12 +982,10 @@ def spec_ds_fold(ur, ui, fr, fi, a, power, sum_u, nv, mode, nc, D, W, head,
                    nbin=nbin, n1=n1, n2=n2, head=head, Rp=Rp, prec=prec)
     kio = jnp.arange(g, dtype=jnp.float32)[:, None]
     const = lambda j, i, d: (0, 0)                     # noqa: E731
-    cspec = [pl.BlockSpec(w2hr.shape, const, memory_space=_VMEM),
-             pl.BlockSpec(w2hi.shape, const, memory_space=_VMEM),
+    cspec = [pl.BlockSpec(w2p.shape, const, memory_space=_VMEM),
              pl.BlockSpec(twr.shape, const, memory_space=_VMEM),
              pl.BlockSpec(twi.shape, const, memory_space=_VMEM),
-             pl.BlockSpec(w1r.T.shape, const, memory_space=_VMEM),
-             pl.BlockSpec(w1i.T.shape, const, memory_space=_VMEM)]
+             pl.BlockSpec(w1p.shape, const, memory_space=_VMEM)]
     grid = (BS // st, m, D)
     ds, bmax, hist = pl.pallas_call(
         kern,
@@ -1007,41 +1017,44 @@ def spec_ds_fold(ur, ui, fr, fi, a, power, sum_u, nv, mode, nc, D, W, head,
     )(u_in[0], u_in[1], f_in[0], f_in[1],
       a.reshape(B, 1, m * W), power.reshape(B, 1, m * W), su_in,
       jnp.asarray(nv, jnp.int32).reshape(B, 1, 1), kio,
-      jnp.asarray(w2hr), jnp.asarray(w2hi), jnp.asarray(twr),
-      jnp.asarray(twi), jnp.asarray(np.ascontiguousarray(w1r.T)),
-      jnp.asarray(np.ascontiguousarray(w1i.T)))
+      jnp.asarray(np.ascontiguousarray(w2p)), jnp.asarray(twr),
+      jnp.asarray(twi), jnp.asarray(np.ascontiguousarray(w1p)))
     nb = W // 128
     pyr = bmax.reshape(BS, m, 128)[:, :, :nb].reshape(BS, m * nb)
     return ds, pyr, (hist.reshape(BS, nbin) if nbin else None)
 
 
-def _rfft_ct_half_kernel(x_ref, w2r_ref, w2i_ref, twr_ref, twi_ref,
-                         w1hrt_ref, w1hit_ref, or_ref, oi_ref, *,
+def _rfft_ct_half_kernel(x_ref, w2p_ref, twr_ref, twi_ref,
+                         w1pr_ref, w1pi_ref, or_ref, oi_ref, *,
                          n1, n2, prec):
     """Forward CT transform of REAL input emitting only the rfft half:
     stage 2 contracts with W1h^T [n1, n1h] (n1h = n1//2 + 1), so both the
     matmul work and the output writes halve vs _rfft_ct_kernel. Output
     layout [st, n1h*n2] is exactly rfft order (k = n2*t1 + t2); bins past
-    n//2 are mirror-frequency values (callers treat them as inert)."""
+    n//2 are mirror-frequency values (callers treat them as inert).
+
+    Dots run PACKED (per-dot fixed latency dominates on this backend):
+    stage 1 is ONE dot against [w2r | w2i] emitting [ar | ai]; stage 2 is
+    TWO dots of the packed [br | bi] against [[w1hrt], [-w1hit]] and
+    [[w1hit], [w1hrt]] (the n1h = 65 output width is lane-misaligned, so
+    xr/xi stay separate dots instead of a packed output needing a
+    misaligned split). 6 dots -> 3, all with full 128+ contractions."""
     st = or_ref.shape[0]
     n1h = n1 // 2 + 1
     dot = _kdot(prec)
     x = x_ref[...].reshape(st, n2, n1)
     x = jnp.swapaxes(x, 1, 2).reshape(st * n1, n2)     # [st*k1, k2]
-    ar = dot(x, w2r_ref[...])                          # [st*k1, t2]
-    ai = dot(x, w2i_ref[...])
+    aa = dot(x, w2p_ref[...])                          # [st*k1, ar|ai]
     twr = twr_ref[...]
     twi = twi_ref[...]
-    ar3 = ar.reshape(st, n1, n2)
-    ai3 = ai.reshape(st, n1, n2)
+    ar3 = aa[:, :n2].reshape(st, n1, n2)
+    ai3 = aa[:, n2:].reshape(st, n1, n2)
     br = ar3 * twr - ai3 * twi
     bi = ar3 * twi + ai3 * twr
-    br = jnp.swapaxes(br, 1, 2).reshape(st * n2, n1)   # [st*t2, k1]
-    bi = jnp.swapaxes(bi, 1, 2).reshape(st * n2, n1)
-    w1rt = w1hrt_ref[...]                              # [k1, t1h]
-    w1it = w1hit_ref[...]
-    xr = dot(br, w1rt) - dot(bi, w1it)                 # [st*t2, t1h]
-    xi = dot(br, w1it) + dot(bi, w1rt)
+    bb = jnp.swapaxes(jnp.concatenate([br, bi], axis=1), 1, 2)
+    bb = bb.reshape(st * n2, 2 * n1)                   # [st*t2, br|bi]
+    xr = dot(bb, w1pr_ref[...])                        # [st*t2, t1h]
+    xi = dot(bb, w1pi_ref[...])
     xr = jnp.swapaxes(xr.reshape(st, n2, n1h), 1, 2)   # [st, t1h, t2]
     xi = jnp.swapaxes(xi.reshape(st, n2, n1h), 1, 2)
     or_ref[...] = xr.reshape(st, n1h * n2)
@@ -1061,18 +1074,21 @@ def rfft_ct_half(x, n, interpret=None):
     Rp = n1h * n2
     (w2r, w2i), (twr, twi), (w1hr, w1hi) = _dft._ct_mats_half(n, False)
     prec = _dft._precision_mosaic()
+    # packed stage matrices (see _rfft_ct_half_kernel)
+    w2p = np.concatenate([w2r, w2i], axis=1)
+    w1pr = np.concatenate([w1hr.T, -w1hi.T], axis=0)
+    w1pi = np.concatenate([w1hi.T, w1hr.T], axis=0)
     N = x.shape[0]
     st = 8
     Np = (N + st - 1) // st * st
     if Np != N:
         x = jnp.pad(x, ((0, Np - N), (0, 0)))
     const = lambda j: (0, 0)                              # noqa: E731
-    cspec = [pl.BlockSpec(w2r.shape, const, memory_space=_VMEM),
-             pl.BlockSpec(w2i.shape, const, memory_space=_VMEM),
+    cspec = [pl.BlockSpec(w2p.shape, const, memory_space=_VMEM),
              pl.BlockSpec(twr.shape, const, memory_space=_VMEM),
              pl.BlockSpec(twi.shape, const, memory_space=_VMEM),
-             pl.BlockSpec(w1hr.T.shape, const, memory_space=_VMEM),
-             pl.BlockSpec(w1hi.T.shape, const, memory_space=_VMEM)]
+             pl.BlockSpec(w1pr.shape, const, memory_space=_VMEM),
+             pl.BlockSpec(w1pi.shape, const, memory_space=_VMEM)]
     fr, fi = pl.pallas_call(
         partial(_rfft_ct_half_kernel, n1=n1, n2=n2, prec=prec),
         grid=(Np // st,),
@@ -1085,7 +1101,7 @@ def rfft_ct_half(x, n, interpret=None):
         out_shape=[jax.ShapeDtypeStruct((Np, Rp), jnp.float32),
                    jax.ShapeDtypeStruct((Np, Rp), jnp.float32)],
         interpret=interpret,
-    )(x, jnp.asarray(w2r), jnp.asarray(w2i), jnp.asarray(twr),
-      jnp.asarray(twi), jnp.asarray(np.ascontiguousarray(w1hr.T)),
-      jnp.asarray(np.ascontiguousarray(w1hi.T)))
+    )(x, jnp.asarray(np.ascontiguousarray(w2p)), jnp.asarray(twr),
+      jnp.asarray(twi), jnp.asarray(np.ascontiguousarray(w1pr)),
+      jnp.asarray(np.ascontiguousarray(w1pi)))
     return fr[:N], fi[:N]

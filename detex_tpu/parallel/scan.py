@@ -730,6 +730,46 @@ def _sharded_scan_raw_fn(mesh, n_c, nc, nfft, buff_samps, max_trig, dec,
     return jax.jit(fn)
 
 
+@lru_cache(maxsize=None)
+def _sharded_scan_raw_os_fn(mesh, n_c, nc, blk_fft, buff_samps, max_trig,
+                            dec, nfftp, n_tpl, axis, S, calc_hist,
+                            uniform_nbin, specds_mode, fold):
+    """Sharded devicePrep scan for OVERLAP-SAVE banks: each device runs
+    the batched device prep (detrend + spectral bandpass + decimation,
+    ops/prep.prep_multiplex_batch) on ITS raw-channel shard, then the
+    fold-batch / fused spec->DS scan (``fold``) or the per-chunk OS scan
+    (fallback for configs _fold_scan_ok rejects). Histograms merge with
+    one psum. This is what lets devicePrep keep the overlap-save fold
+    wins on a multi-device mesh instead of regressing to full-length
+    spectra banks (round-3 leftover; PERF.md)."""
+    from detex_tpu.ops import prep as _prep
+
+    def shard_body(Xc, LV, H, arrs, thresholds, bins):
+        X, lens_mux = _prep.prep_multiplex_batch(Xc, LV, H, nfftp, dec, nc)
+        # valid DS samples per chunk; padded (LV=0) rows clamp to 0 ==
+        # fully masked, matching _pad_batch's zero-length chunk contract
+        NV = jnp.maximum((lens_mux - n_tpl) // nc + 1, 0).astype(jnp.int32)
+        if fold:
+            hist, maxds, tidx, tval, tcnt = _fold_chunks_fn(
+                X, NV, arrs, thresholds, n_c, nc, blk_fft, buff_samps,
+                max_trig, S, calc_hist, uniform_nbin, specds_mode)
+        else:
+            f = lambda xn: _chunk_fn(xn[0], xn[1], arrs,        # noqa
+                                     thresholds, bins, "os", n_c, nc,
+                                     blk_fft, buff_samps, max_trig, S,
+                                     calc_hist, uniform_nbin)
+            hist, maxds, tidx, tval, tcnt = jax.lax.map(f, (X, NV))
+            hist = hist.sum(axis=0)
+        hist = jax.lax.psum(hist, axis)
+        return hist, maxds, tidx, tval, tcnt
+
+    fn = shard_map(shard_body, mesh=mesh,
+                   in_specs=(P(axis), P(axis), P(), P(), P(), P()),
+                   out_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+                   check_vma=False)
+    return jax.jit(fn)
+
+
 def scan_chunks_sharded(mesh, X, bank, thresholds, nc, buff_samps,
                         bins=None, max_trig=64, axis="chunks",
                         valid_lens=None, calc_hist=True):
@@ -776,16 +816,43 @@ def scan_chunks_raw_sharded(mesh, Xc, lens, H, bank, thresholds, nc,
                             buff_samps, bins=None, max_trig=64, dec=1,
                             axis="chunks", calc_hist=True):
     """Multi-chip raw-channel scan (fused devicePrep); B padded to a
-    multiple of the mesh size like scan_chunks_sharded."""
+    multiple of the mesh size like scan_chunks_sharded. Overlap-save
+    banks run prep + the fold-batch / fused spec->DS scan inside the
+    shard body (one program per device, no host round trip)."""
     if bins is None:
         bins = DEFAULT_BINS
-    if not bank.get("demux") or bank.get("os"):
-        raise ValueError("scan_chunks_raw_sharded requires a "
-                         "(non-overlap-save) demuxed bank")
+    if not bank.get("demux"):
+        raise ValueError("scan_chunks_raw_sharded requires a demuxed bank")
     _require_host_array(Xc, "scan_chunks_raw_sharded")
     Xc = np.asarray(Xc, np.float32)
     lens = np.asarray(lens, np.int32)
     Xc, lens, B = _pad_batch(mesh.size, Xc, lens)
+    if bank.get("os"):
+        st = _bank_statics(bank, nc)
+        nfftp = (int(H.shape[0]) - 1) * 2 // int(dec)
+        Bs = Xc.shape[0] // mesh.size
+        L_mux = (int(Xc.shape[2]) // int(dec)) * int(nc)
+        unb = _uniform_nbin(bins)
+        # routing decided on the PER-SHARD batch (shape probe only)
+        Xp = np.broadcast_to(np.float32(0), (Bs, L_mux))
+        fold = _fold_scan_ok(bank, st, Xp, calc_hist, unb)
+        mode = None
+        if fold:
+            mode = _ds.spec_ds_mode(Bs, st["S"], int(bank["Dmax"]),
+                                    st["n_c"], st["nc"], st["nfft"])
+            arrs = _specds_arrs(bank, False) if mode else _bank_arrays(bank)
+            th = jnp.asarray(thresholds, jnp.float32)
+        else:
+            arrs = _bank_arrays(bank)
+            th = _blocked_thresholds(bank, thresholds)
+        fn = _sharded_scan_raw_os_fn(
+            mesh, st["n_c"], int(nc), st["nfft"], int(buff_samps),
+            int(max_trig), int(dec), nfftp, int(bank["n"]), axis, st["S"],
+            bool(calc_hist), unb, mode, bool(fold))
+        hist, maxds, tidx, tval, tcnt = fn(
+            jnp.asarray(Xc), jnp.asarray(lens), H, arrs, th,
+            jnp.asarray(bins, jnp.float32))
+        return hist, maxds[:B], tidx[:B], tval[:B], tcnt[:B]
     fn = _sharded_scan_raw_fn(mesh, bank["n_c"], int(nc), bank["nfft2"],
                               int(buff_samps), int(max_trig), int(dec), axis,
                               bool(calc_hist), _uniform_nbin(bins))

@@ -124,12 +124,34 @@ def test_deviceprep_fold_route_matches_host(ss, monkeypatch):
     detections must match the host-prep path like the monolithic kernel
     does."""
     monkeypatch.setenv("DETEX_TPU_PALLAS", "1")
-    # single-device: on a mesh the devicePrep path keeps full-length
-    # banks for the raw sharded scan (detect._prepareDetectors)
-    monkeypatch.setenv("DETEX_TPU_MESH", "0")
+    monkeypatch.setenv("DETEX_TPU_MESH", "0")   # single-device route
     s, wd = ss
     db_host = str(wd / "host_fold.db")
     db_dev = str(wd / "dev_fold.db")
+    s.detex(subspaceDB=db_host, estimateMags=False)
+    s.detex(subspaceDB=db_dev, estimateMags=False, devicePrep=True)
+    host = util.loadSQLite(db_host, "ss_df")
+    dev = util.loadSQLite(db_dev, "ss_df")
+    assert host is not None and dev is not None
+    assert len(host) == len(dev)
+    host = host.sort_values("STMP").reset_index(drop=True)
+    dev = dev.sort_values("STMP").reset_index(drop=True)
+    assert (abs(host.STMP - dev.STMP) < 0.2).all()
+    assert (abs(host.DS - dev.DS) < 1e-3).all()
+
+
+def test_deviceprep_fold_route_sharded(ss, monkeypatch):
+    """Mesh + devicePrep + overlap-save bank: the batched device prep now
+    runs INSIDE the shard body (scan_chunks_raw_sharded -> per-shard
+    prep_multiplex_batch -> fold / fused spec->DS scan) instead of
+    regressing to full-length-spectra banks (round-3 leftover). The
+    8-virtual-device mesh run must emit the same detections as host
+    prep."""
+    monkeypatch.setenv("DETEX_TPU_PALLAS", "1")
+    monkeypatch.delenv("DETEX_TPU_MESH", raising=False)   # mesh ON
+    s, wd = ss
+    db_host = str(wd / "host_fold_mesh.db")
+    db_dev = str(wd / "dev_fold_mesh.db")
     s.detex(subspaceDB=db_host, estimateMags=False)
     s.detex(subspaceDB=db_dev, estimateMags=False, devicePrep=True)
     host = util.loadSQLite(db_host, "ss_df")

@@ -194,3 +194,39 @@ def test_run_bank_batch_fold_matches_map(pallas_env):
         assert g.shape == w.shape
         assert np.abs(g - w).max() < 2e-5
         assert np.isfinite(g).all()
+
+
+def test_sharded_raw_os_matches_single_device(pallas_env):
+    """devicePrep + mesh + overlap-save bank: scan_chunks_raw_sharded now
+    runs prep_multiplex_batch INSIDE the shard body and folds each
+    device's chunk shard (round-3 leftover: this config used to refuse OS
+    banks and regress to full-length spectra). Outputs must match the
+    single-device split-prep route, including an odd batch (mesh padding)
+    and a ragged chunk."""
+    import jax.numpy as jnp
+    from detex_tpu.parallel import mesh as pmesh
+    rng = np.random.default_rng(9)
+    nc, Lc = 3, 9000
+    bank, _ = _mk_bank(rng, nc=nc, Lc=Lc)
+    nfftp = 2 ** int(Lc // nc + bank["n_c"]).bit_length()
+    H = jnp.ones(nfftp // 2 + 1, jnp.float32)
+    B, L_raw = 7, Lc // nc
+    Xc = rng.standard_normal((B, nc, L_raw)).astype(np.float32)
+    lens = np.full(B, L_raw, np.int32)
+    lens[2] = L_raw - 500          # ragged chunk
+    for b in range(B):
+        Xc[b, :, lens[b]:] = 0.0
+    th = np.array([0.2, 0.2], np.float32)
+    mesh = pmesh.make_mesh(8)
+    got = pscan.scan_chunks_raw(Xc, lens, H, bank, th, nc, buff_samps=50,
+                                max_trig=8, mesh=mesh)
+    want = pscan.scan_chunks_raw(Xc, lens, H, bank, th, nc, buff_samps=50,
+                                 max_trig=8)
+    hist_g, maxds_g, tidx_g, tval_g, tcnt_g = map(np.asarray, got)
+    hist_w, maxds_w, tidx_w, tval_w, tcnt_w = map(np.asarray, want)
+    assert maxds_g.shape == maxds_w.shape == (B, 2)
+    assert hist_g.sum() == hist_w.sum()
+    assert np.abs(hist_g - hist_w).sum() <= 2      # f32 bin-edge jitter
+    assert np.allclose(maxds_g, maxds_w, atol=2e-5)
+    assert np.array_equal(tcnt_g, tcnt_w)
+    assert np.array_equal(tidx_g, tidx_w)
