@@ -892,6 +892,15 @@ def spec_ds_supported(mode, B, S, D, nc, n_c, blk):
     if n1 != 128:
         return False
     st = SPEC_DS_ST
+    # VMEM-fit guard: the packed CT chain allocates ~11 blk-wide f32
+    # temporaries per tile row plus the (double-buffered) streamed-side
+    # spectra tile; beyond ~14 MB the Mosaic compile runs away (>25 min,
+    # never errors — measured at st=16, PERF.md round 3c), so refuse and
+    # let the caller fall back to the unfused fold path.
+    Rp = (n1 // 2 + 1) * (blk // n1)
+    stream_bytes = st * nc * Rp * 4 * 2 * 2   # (re, im) double-buffered
+    if st * blk * 4 * 11 + stream_bytes > 14 * 1024 * 1024:
+        return False
     if mode == "net":
         return S % st == 0
     return B % st == 0
