@@ -230,3 +230,39 @@ def test_sharded_raw_os_matches_single_device(pallas_env):
     assert np.allclose(maxds_g, maxds_w, atol=2e-5)
     assert np.array_equal(tcnt_g, tcnt_w)
     assert np.array_equal(tidx_g, tidx_w)
+
+
+def test_sharded_raw_os_fallback_nonuniform_bins(pallas_env):
+    """Non-uniform bins can't ride the fused finalize, so the sharded
+    devicePrep OS path must take its per-chunk fallback branch
+    (_sharded_scan_raw_os_fn with fold=False) and still match the
+    single-device route."""
+    import jax.numpy as jnp
+    from detex_tpu.parallel import mesh as pmesh
+    rng = np.random.default_rng(13)
+    nc, Lc = 3, 9000
+    bank, _ = _mk_bank(rng, nc=nc, Lc=Lc)
+    nfftp = 2 ** int(Lc // nc + bank["n_c"]).bit_length()
+    H = jnp.ones(nfftp // 2 + 1, jnp.float32)
+    B, L_raw = 4, Lc // nc
+    Xc = rng.standard_normal((B, nc, L_raw)).astype(np.float32)
+    lens = np.full(B, L_raw, np.int32)
+    th = np.array([0.2, 0.2], np.float32)
+    bins = np.concatenate([[0.0], np.geomspace(1e-3, 1.0, 40)])  # ragged
+    mesh = pmesh.make_mesh(8)
+    st = pscan._bank_statics(bank, nc)
+    assert not pscan._fold_scan_ok(bank, st,
+                                   np.zeros((1, Lc), np.float32), True,
+                                   pscan._uniform_nbin(bins))
+    got = pscan.scan_chunks_raw(Xc, lens, H, bank, th, nc, buff_samps=50,
+                                max_trig=8, bins=bins, mesh=mesh)
+    want = pscan.scan_chunks_raw(Xc, lens, H, bank, th, nc, buff_samps=50,
+                                 max_trig=8, bins=bins)
+    hist_g, maxds_g, tidx_g, _, tcnt_g = map(np.asarray, got)
+    hist_w, maxds_w, tidx_w, _, tcnt_w = map(np.asarray, want)
+    assert hist_g.shape == (2, 40)
+    assert np.abs(hist_g.astype(np.int64) - hist_w.astype(np.int64)
+                  ).sum() <= 2
+    assert np.allclose(maxds_g, maxds_w, atol=2e-5)
+    assert np.array_equal(tcnt_g, tcnt_w)
+    assert np.array_equal(tidx_g, tidx_w)
