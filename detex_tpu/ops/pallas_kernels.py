@@ -32,6 +32,12 @@ except Exception:  # pragma: no cover
 LANE = 128
 DEFAULT_TILE = 8 * 1024
 
+# rows per tile for the fused CT transform kernels (forward/inverse block
+# DFTs). Env-tunable for on-device sweeps: bigger tiles raise the matmul
+# M dim and amortize per-cell fixed cost; the CT temporaries scale with
+# st (st=8 ~4 MB; st=16 ~8 MB — near but under the VMEM limit).
+CT_ST = int(os.environ.get("DETEX_TPU_CT_ST", "8"))
+
 
 def _kdot(prec):
     """In-kernel [M,K]@[K,N] matmul for the CT kernels. Mosaic lowers
@@ -259,7 +265,7 @@ def irfft_ct_fused(zr, zi, n, interpret=None):
     w2p = np.block([[w2r, w2i], [-w2i, w2r]])
     w1p = np.concatenate([w1r.T, -w1i.T], axis=0)
     N = zr.shape[0]
-    st = 8
+    st = CT_ST
     Np = (N + st - 1) // st * st
     if Np != N:
         zr = jnp.pad(zr, ((0, Np - N), (0, 0)))
@@ -325,7 +331,7 @@ def rfft_ct_fused(x, n, interpret=None):
     w2p = np.concatenate([w2r, w2i], axis=1)
     w1p = np.block([[w1r.T, w1i.T], [-w1i.T, w1r.T]])
     N = x.shape[0]
-    st = 8
+    st = CT_ST
     Np = (N + st - 1) // st * st
     if Np != N:
         x = jnp.pad(x, ((0, Np - N), (0, 0)))
@@ -1088,7 +1094,7 @@ def rfft_ct_half(x, n, interpret=None):
     w1pr = np.concatenate([w1hr.T, -w1hi.T], axis=0)
     w1pi = np.concatenate([w1hi.T, w1hr.T], axis=0)
     N = x.shape[0]
-    st = 8
+    st = CT_ST
     Np = (N + st - 1) // st * st
     if Np != N:
         x = jnp.pad(x, ((0, Np - N), (0, 0)))
