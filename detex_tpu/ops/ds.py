@@ -608,8 +608,11 @@ def bank_spec_pair(bank):
 def spec_ds_mode(B, S, Dmax, n_c, nc, blk_fft):
     """Row-ordering mode for the fused spec->DS kernel, or None when the
     config must use the unfused fold path. Prefers "net" (rows (chunk,
-    template), S % 8 == 0 — template-blocked banks always qualify);
-    "sub" (rows (template, chunk)) covers small banks when B % 8 == 0."""
+    template), S % SPEC_DS_ST == 0 — template-blocked banks qualify at
+    the default tile of 8); "sub" (rows (template, chunk)) covers small
+    banks when B % SPEC_DS_ST == 0. The tile-row count is the sanitized
+    DETEX_TPU_SPECDS_ST override (pallas_kernels.SPEC_DS_ST, default
+    8); spec_ds_supported also enforces a VMEM-fit bound on it."""
     import os
     if os.environ.get("DETEX_TPU_SPECDS", "1") == "0":
         return None

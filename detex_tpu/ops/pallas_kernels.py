@@ -36,7 +36,22 @@ DEFAULT_TILE = 8 * 1024
 # DFTs). Env-tunable for on-device sweeps: bigger tiles raise the matmul
 # M dim and amortize per-cell fixed cost; the CT temporaries scale with
 # st (st=8 ~4 MB; st=16 ~8 MB — near but under the VMEM limit).
-CT_ST = int(os.environ.get("DETEX_TPU_CT_ST", "8"))
+
+
+
+def _env_tile_rows(name, default=8):
+    """Sanitized tile-row override: Mosaic's sublane law needs multiples
+    of 8; clamp bad env values instead of emitting illegal BlockSpecs
+    (or the measured st>=16 runaway compiles from a typo'd huge value —
+    the VMEM guards downstream still bound the upper end)."""
+    try:
+        v = int(os.environ.get(name, str(default)))
+    except ValueError:
+        return default
+    return max(8, (v // 8) * 8)
+
+
+CT_ST = _env_tile_rows("DETEX_TPU_CT_ST")
 
 
 def _kdot(prec):
@@ -882,7 +897,7 @@ def _spec_ds_fold_kernel(ur_ref, ui_ref, fr_ref, fi_ref, a_ref, p_ref,
 # axis). Env-overridable for on-device sweeps: bigger tiles mean larger
 # matmul M dims and fewer per-cell fixed costs, but the U spectra tile
 # (st * nc * Rp * 4 B * 2, double-buffered) grows into the ~16 MB VMEM.
-SPEC_DS_ST = int(os.environ.get("DETEX_TPU_SPECDS_ST", "8"))
+SPEC_DS_ST = _env_tile_rows("DETEX_TPU_SPECDS_ST")
 
 
 def spec_ds_supported(mode, B, S, D, nc, n_c, blk):

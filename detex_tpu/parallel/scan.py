@@ -527,6 +527,33 @@ def _valid_lens(bank, nc, X, valid_lens):
                       np.int32)
 
 
+def _os_fold_route(bank, st, B, Lc_mux, calc_hist, unb, thresholds):
+    """Shared kernel routing for overlap-save banks (single source of
+    truth for scan_chunks, scan_chunks_sharded and the sharded devicePrep
+    path — the same config must pick the same kernel everywhere the
+    parity tests cover).
+
+    Returns (route, specds_mode, arrs, thresholds_dev):
+      route "fold"    — unblocked fold-batch scan (_fold_chunks_fn)
+      route "blocked" — template-blocked fold (_fold_chunks_blocked_fn)
+      route None      — per-chunk lax.map path (_chunk_fn)
+    """
+    Xp = np.broadcast_to(np.float32(0), (B, Lc_mux))   # shape probe only
+    if _fold_scan_ok(bank, st, Xp, calc_hist, unb):
+        mode = _ds.spec_ds_mode(B, st["S"], int(bank["Dmax"]),
+                                st["n_c"], st["nc"], st["nfft"])
+        arrs = _specds_arrs(bank, False) if mode else _bank_arrays(bank)
+        return "fold", mode, arrs, jnp.asarray(thresholds, jnp.float32)
+    if _fold_scan_blocked_ok(bank, st, Xp, unb):
+        mode = _ds.spec_ds_mode(B, TEMPLATE_BLOCK, int(bank["Dmax"]),
+                                st["n_c"], st["nc"], st["nfft"])
+        mode = mode if mode == "net" else None  # blocked rows are (b, s)
+        arrs = _specds_arrs(bank, True) if mode else _bank_arrays(bank)
+        return "blocked", mode, arrs, _blocked_thresholds(bank, thresholds)
+    return (None, None, _bank_arrays(bank),
+            _blocked_thresholds(bank, thresholds))
+
+
 def scan_chunks(X, bank, thresholds, nc, buff_samps, bins=None, max_trig=64,
                 valid_lens=None, mesh=None, calc_hist=True):
     """Batched scan: X [B, Lc] -> (hist, maxds, trig...).
@@ -553,32 +580,26 @@ def scan_chunks(X, bank, thresholds, nc, buff_samps, bins=None, max_trig=64,
     # device->host transfer through the TPU tunnel); only shapes are needed
     nv = _valid_lens(bank, nc, X, valid_lens)
     unb = _uniform_nbin(bins)
-    if _fold_scan_ok(bank, st, X, calc_hist, unb):
-        mode = _ds.spec_ds_mode(int(X.shape[0]), st["S"],
-                                int(bank["Dmax"]), st["n_c"], st["nc"],
-                                st["nfft"])
-        arrs = _specds_arrs(bank, False) if mode else _bank_arrays(bank)
+    route, mode, arrs, th = _os_fold_route(
+        bank, st, int(X.shape[0]), int(X.shape[1]), calc_hist, unb,
+        thresholds) if st["demux"] == "os" else (None, None,
+                                                 _bank_arrays(bank),
+                                                 _blocked_thresholds(
+                                                     bank, thresholds))
+    if route == "fold":
         return _scan_chunks_fold_jit(
-            jnp.asarray(X, jnp.float32), jnp.asarray(nv),
-            arrs, jnp.asarray(thresholds, jnp.float32),
+            jnp.asarray(X, jnp.float32), jnp.asarray(nv), arrs, th,
             st["n_c"], st["nc"], st["nfft"], int(buff_samps),
             int(max_trig), st["S"], bool(calc_hist), unb,
             specds_mode=mode)
-    if _fold_scan_blocked_ok(bank, st, X, unb):
-        mode = _ds.spec_ds_mode(int(X.shape[0]), TEMPLATE_BLOCK,
-                                int(bank["Dmax"]), st["n_c"], st["nc"],
-                                st["nfft"])
-        mode = mode if mode == "net" else None  # blocked rows are (b, s)
-        arrs = _specds_arrs(bank, True) if mode else _bank_arrays(bank)
+    if route == "blocked":
         return _scan_chunks_fold_blocked_jit(
-            jnp.asarray(X, jnp.float32), jnp.asarray(nv),
-            arrs, _blocked_thresholds(bank, thresholds),
+            jnp.asarray(X, jnp.float32), jnp.asarray(nv), arrs, th,
             st["n_c"], st["nc"], st["nfft"], int(buff_samps),
             int(max_trig), st["S"], bool(calc_hist), unb,
             specds_mode=mode)
     return _scan_chunks_jit(jnp.asarray(X, jnp.float32), jnp.asarray(nv),
-                            _bank_arrays(bank),
-                            _blocked_thresholds(bank, thresholds),
+                            arrs, th,
                             jnp.asarray(bins, jnp.float32), st["demux"],
                             st["n_c"], st["nc"], st["nfft"],
                             int(buff_samps), int(max_trig), st["S"],
@@ -691,12 +712,17 @@ def _sharded_scan_fn(mesh, demux, n_c, nc, nfft, buff_samps, max_trig, axis,
 @lru_cache(maxsize=None)
 def _sharded_scan_fold_fn(mesh, n_c, nc, blk_fft, buff_samps, max_trig,
                           axis, S, calc_hist=True, uniform_nbin=0,
-                          specds_mode=None):
+                          specds_mode=None, route="fold"):
     """Sharded fold-batch scan: each device folds ITS chunk shard into
-    single op instances; histograms merge with one psum."""
+    single op instances (route "fold"; route "blocked" runs the
+    template-blocked fold — lax.map over template blocks only, the same
+    kernels the single-device path picks for S > TEMPLATE_BLOCK);
+    histograms merge with one psum."""
+    body = (_fold_chunks_blocked_fn if route == "blocked"
+            else _fold_chunks_fn)
 
     def shard_body(Xs, NV, arrs, thresholds):
-        hist, maxds, tidx, tval, tcnt = _fold_chunks_fn(
+        hist, maxds, tidx, tval, tcnt = body(
             Xs, NV, arrs, thresholds, n_c, nc, blk_fft, buff_samps,
             max_trig, S, calc_hist, uniform_nbin, specds_mode)
         hist = jax.lax.psum(hist, axis)
@@ -733,12 +759,12 @@ def _sharded_scan_raw_fn(mesh, n_c, nc, nfft, buff_samps, max_trig, dec,
 @lru_cache(maxsize=None)
 def _sharded_scan_raw_os_fn(mesh, n_c, nc, blk_fft, buff_samps, max_trig,
                             dec, nfftp, n_tpl, axis, S, calc_hist,
-                            uniform_nbin, specds_mode, fold):
+                            uniform_nbin, specds_mode, route):
     """Sharded devicePrep scan for OVERLAP-SAVE banks: each device runs
     the batched device prep (detrend + spectral bandpass + decimation,
     ops/prep.prep_multiplex_batch) on ITS raw-channel shard, then the
-    fold-batch / fused spec->DS scan (``fold``) or the per-chunk OS scan
-    (fallback for configs _fold_scan_ok rejects). Histograms merge with
+    scan route the single-device path would pick ("fold", "blocked", or
+    None = per-chunk OS lax.map; _os_fold_route). Histograms merge with
     one psum. This is what lets devicePrep keep the overlap-save fold
     wins on a multi-device mesh instead of regressing to full-length
     spectra banks (round-3 leftover; PERF.md)."""
@@ -749,8 +775,12 @@ def _sharded_scan_raw_os_fn(mesh, n_c, nc, blk_fft, buff_samps, max_trig,
         # valid DS samples per chunk; padded (LV=0) rows clamp to 0 ==
         # fully masked, matching _pad_batch's zero-length chunk contract
         NV = jnp.maximum((lens_mux - n_tpl) // nc + 1, 0).astype(jnp.int32)
-        if fold:
+        if route == "fold":
             hist, maxds, tidx, tval, tcnt = _fold_chunks_fn(
+                X, NV, arrs, thresholds, n_c, nc, blk_fft, buff_samps,
+                max_trig, S, calc_hist, uniform_nbin, specds_mode)
+        elif route == "blocked":
+            hist, maxds, tidx, tval, tcnt = _fold_chunks_blocked_fn(
                 X, NV, arrs, thresholds, n_c, nc, blk_fft, buff_samps,
                 max_trig, S, calc_hist, uniform_nbin, specds_mode)
         else:
@@ -788,26 +818,25 @@ def scan_chunks_sharded(mesh, X, bank, thresholds, nc, buff_samps,
     nv = _valid_lens(bank, nc, X, valid_lens)
     X, nv, B = _pad_batch(mesh.size, X, nv)
     unb = _uniform_nbin(bins)
-    if _fold_scan_ok(bank, st, X[:X.shape[0] // mesh.size], calc_hist, unb):
-        # fused spec->DS routing decided on the PER-SHARD batch size
-        mode = _ds.spec_ds_mode(int(X.shape[0]) // mesh.size, st["S"],
-                                int(bank["Dmax"]), st["n_c"], st["nc"],
-                                st["nfft"])
-        arrs = _specds_arrs(bank, False) if mode else _bank_arrays(bank)
+    # kernel routing decided on the PER-SHARD batch size
+    route, mode, arrs, th = _os_fold_route(
+        bank, st, int(X.shape[0]) // mesh.size, int(X.shape[1]),
+        calc_hist, unb, thresholds) if st["demux"] == "os" else (
+            None, None, _bank_arrays(bank),
+            _blocked_thresholds(bank, thresholds))
+    if route:
         fn = _sharded_scan_fold_fn(mesh, st["n_c"], int(nc), st["nfft"],
                                    int(buff_samps), int(max_trig), axis,
                                    st["S"], bool(calc_hist), unb,
-                                   specds_mode=mode)
+                                   specds_mode=mode, route=route)
         hist, maxds, tidx, tval, tcnt = fn(
-            jnp.asarray(X), jnp.asarray(nv), arrs,
-            jnp.asarray(thresholds, jnp.float32))
+            jnp.asarray(X), jnp.asarray(nv), arrs, th)
         return hist, maxds[:B], tidx[:B], tval[:B], tcnt[:B]
     fn = _sharded_scan_fn(mesh, st["demux"], st["n_c"], int(nc), st["nfft"],
                           int(buff_samps), int(max_trig), axis, st["S"],
                           bool(calc_hist), unb)
     hist, maxds, tidx, tval, tcnt = fn(
-        jnp.asarray(X), jnp.asarray(nv), _bank_arrays(bank),
-        _blocked_thresholds(bank, thresholds),
+        jnp.asarray(X), jnp.asarray(nv), arrs, th,
         jnp.asarray(bins, jnp.float32))
     return hist, maxds[:B], tidx[:B], tval[:B], tcnt[:B]
 
@@ -834,21 +863,12 @@ def scan_chunks_raw_sharded(mesh, Xc, lens, H, bank, thresholds, nc,
         L_mux = (int(Xc.shape[2]) // int(dec)) * int(nc)
         unb = _uniform_nbin(bins)
         # routing decided on the PER-SHARD batch (shape probe only)
-        Xp = np.broadcast_to(np.float32(0), (Bs, L_mux))
-        fold = _fold_scan_ok(bank, st, Xp, calc_hist, unb)
-        mode = None
-        if fold:
-            mode = _ds.spec_ds_mode(Bs, st["S"], int(bank["Dmax"]),
-                                    st["n_c"], st["nc"], st["nfft"])
-            arrs = _specds_arrs(bank, False) if mode else _bank_arrays(bank)
-            th = jnp.asarray(thresholds, jnp.float32)
-        else:
-            arrs = _bank_arrays(bank)
-            th = _blocked_thresholds(bank, thresholds)
+        route, mode, arrs, th = _os_fold_route(
+            bank, st, Bs, L_mux, calc_hist, unb, thresholds)
         fn = _sharded_scan_raw_os_fn(
             mesh, st["n_c"], int(nc), st["nfft"], int(buff_samps),
             int(max_trig), int(dec), nfftp, int(bank["n"]), axis, st["S"],
-            bool(calc_hist), unb, mode, bool(fold))
+            bool(calc_hist), unb, mode, route)
         hist, maxds, tidx, tval, tcnt = fn(
             jnp.asarray(Xc), jnp.asarray(lens), H, arrs, th,
             jnp.asarray(bins, jnp.float32))

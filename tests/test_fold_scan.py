@@ -230,6 +230,8 @@ def test_sharded_raw_os_matches_single_device(pallas_env):
     assert np.allclose(maxds_g, maxds_w, atol=2e-5)
     assert np.array_equal(tcnt_g, tcnt_w)
     assert np.array_equal(tidx_g, tidx_w)
+    m = tidx_g >= 0
+    assert np.allclose(tval_g[m], tval_w[m], atol=2e-5, equal_nan=True)
 
 
 def test_sharded_raw_os_fallback_nonuniform_bins(pallas_env):
@@ -266,3 +268,77 @@ def test_sharded_raw_os_fallback_nonuniform_bins(pallas_env):
     assert np.allclose(maxds_g, maxds_w, atol=2e-5)
     assert np.array_equal(tcnt_g, tcnt_w)
     assert np.array_equal(tidx_g, tidx_w)
+
+
+def test_sharded_blocked_fold_matches_single_device(pallas_env):
+    """S > TEMPLATE_BLOCK on a mesh: scan_chunks_sharded must take the
+    same template-blocked fold route as the single-device path (review
+    round 3c: the mesh path used to silently fall back to the per-chunk
+    lax.map pipeline), and the outputs must match."""
+    from detex_tpu.parallel import mesh as pmesh
+    rng = np.random.default_rng(21)
+    nc, n_c, Lc = 3, 30, 9000
+    n = n_c * nc
+    S = pscan.TEMPLATE_BLOCK + 8
+    T = rng.standard_normal((S, n))
+    U_list = [np.ascontiguousarray((t / np.linalg.norm(t))[None, :])
+              for t in T]
+    bank = dsops.build_bank(U_list, nc, Lc, prefer_os=True)
+    th = np.full(S, 0.3, np.float32)
+    B = 8
+    X = rng.standard_normal((B, Lc)).astype(np.float32)
+    st = pscan._bank_statics(bank, nc)
+    route, _, _, _ = pscan._os_fold_route(bank, st, 1, Lc, True, 400, th)
+    assert route == "blocked"
+    mesh = pmesh.make_mesh(8)
+    got = pscan.scan_chunks_sharded(mesh, X, bank, th, nc, buff_samps=50,
+                                    max_trig=4)
+    want = pscan.scan_chunks(X, bank, th, nc, buff_samps=50, max_trig=4)
+    hist_g, maxds_g, tidx_g, tval_g, tcnt_g = map(np.asarray, got)
+    hist_w, maxds_w, tidx_w, tval_w, tcnt_w = map(np.asarray, want)
+    assert hist_g.shape == (S, 400)
+    assert np.abs(hist_g.astype(np.int64) - hist_w.astype(np.int64)
+                  ).sum() <= 4
+    assert np.allclose(maxds_g, maxds_w, atol=2e-5)
+    assert np.array_equal(tcnt_g, tcnt_w)
+    assert np.array_equal(tidx_g, tidx_w)
+    m = tidx_g >= 0
+    assert np.allclose(tval_g[m], tval_w[m], atol=2e-5)
+
+
+def test_sharded_raw_os_blocked_matches_single_device(pallas_env):
+    """devicePrep + mesh + S > TEMPLATE_BLOCK: the sharded raw path must
+    run the template-blocked fold inside the shard body (route 'blocked'
+    in _sharded_scan_raw_os_fn) and match the single-device route."""
+    import jax.numpy as jnp
+    from detex_tpu.parallel import mesh as pmesh
+    rng = np.random.default_rng(23)
+    nc, n_c, Lc = 3, 30, 9000
+    n = n_c * nc
+    S = pscan.TEMPLATE_BLOCK + 8
+    T = rng.standard_normal((S, n))
+    U_list = [np.ascontiguousarray((t / np.linalg.norm(t))[None, :])
+              for t in T]
+    bank = dsops.build_bank(U_list, nc, Lc, prefer_os=True)
+    nfftp = 2 ** int(Lc // nc + bank["n_c"]).bit_length()
+    H = jnp.ones(nfftp // 2 + 1, jnp.float32)
+    B, L_raw = 8, Lc // nc
+    Xc = rng.standard_normal((B, nc, L_raw)).astype(np.float32)
+    lens = np.full(B, L_raw, np.int32)
+    lens[1] = L_raw - 300
+    Xc[1, :, lens[1]:] = 0.0
+    th = np.full(S, 0.3, np.float32)
+    mesh = pmesh.make_mesh(8)
+    got = pscan.scan_chunks_raw(Xc, lens, H, bank, th, nc, buff_samps=50,
+                                max_trig=4, mesh=mesh)
+    want = pscan.scan_chunks_raw(Xc, lens, H, bank, th, nc, buff_samps=50,
+                                 max_trig=4)
+    hist_g, maxds_g, tidx_g, tval_g, tcnt_g = map(np.asarray, got)
+    hist_w, maxds_w, tidx_w, tval_w, tcnt_w = map(np.asarray, want)
+    assert np.abs(hist_g.astype(np.int64) - hist_w.astype(np.int64)
+                  ).sum() <= 4
+    assert np.allclose(maxds_g, maxds_w, atol=2e-5)
+    assert np.array_equal(tcnt_g, tcnt_w)
+    assert np.array_equal(tidx_g, tidx_w)
+    m = tidx_g >= 0
+    assert np.allclose(tval_g[m], tval_w[m], atol=2e-5)
