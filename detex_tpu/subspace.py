@@ -580,9 +580,10 @@ class SubSpace(object):
                         th, pft = self._approxThld(beta_a, beta_b, sta, row,
                                                    self.Pf, 1000, 3,
                                                    backupThreshold)
-                        detex_tpu.log(__name__, "beta.isf failed; "
-                                      "approximated threshold to %f for "
-                                      "station %s %s" % (th, sta, row.Name),
+                        detex_tpu.log(__name__, "beta.isf failed with "
+                                      "pf=%e; approximated threshold to %f "
+                                      "(realized Pf=%e) for station %s %s"
+                                      % (self.Pf, th, pft, sta, row.Name),
                                       level="warning")
                 self.singles[sta].at[ind, "Threshold"] = th
 
