@@ -223,7 +223,18 @@ def main(mode=None):
     # default: all three modes, ONE final JSON line (headline + extras)
     _log("bench: subspace scan (headline, %gh chunks)..."
          % SUBSPACE_CHUNK_HOURS)
-    head = bench_scan("subspace")
+    try:
+        head = bench_scan("subspace")
+    except Exception as e:
+        # never lose the whole round's bench evidence to one kernel
+        # route: retry the headline with the fused spec->DS kernel off
+        # (unfused fold path), recording the downgrade
+        _log("bench: subspace FAILED (%r); retrying with "
+             "DETEX_TPU_SPECDS=0" % e)
+        os.environ["DETEX_TPU_SPECDS"] = "0"
+        head = bench_scan("subspace")
+        head["note"] = "fused spec->DS kernel failed (%r); unfused " \
+                       "fold-path number" % (e,)
     _log("bench: subspace = %s" % head["value"])
     extras = []
     for m, fn in (("network", lambda: bench_scan("network")),
