@@ -41,14 +41,15 @@ class _SSDetex(object):
         self.batchSize = int(batchSize)
         if self.batchSize > 1:
             # the fused spec->DS kernel's "sub" row ordering needs the
-            # PER-SHARD chunk batch divisible by its 8-row tiles
+            # PER-SHARD chunk batch divisible by its tile rows
             # (ops/pallas_kernels.SPEC_DS_ST); round the batch up so a
             # mesh run keeps the fused path instead of silently dropping
             # to the unfused fold (padded chunks are fully masked, so the
             # only cost is scanning a few extra masked rows per batch)
+            from detex_tpu.ops.pallas_kernels import SPEC_DS_ST
             from detex_tpu.parallel import scan as _ps
             mesh = _ps.engine_mesh()
-            quantum = 8 * (mesh.size if mesh is not None else 1)
+            quantum = SPEC_DS_ST * (mesh.size if mesh is not None else 1)
             self.batchSize = -(-self.batchSize // quantum) * quantum
         self.devicePrep = bool(devicePrep)
         # device decimation factor (spectral resample in the fused prep)

@@ -32,13 +32,6 @@ except Exception:  # pragma: no cover
 LANE = 128
 DEFAULT_TILE = 8 * 1024
 
-# rows per tile for the fused CT transform kernels (forward/inverse block
-# DFTs). Env-tunable for on-device sweeps: bigger tiles raise the matmul
-# M dim and amortize per-cell fixed cost; the CT temporaries scale with
-# st (st=8 ~4 MB; st=16 ~8 MB — near but under the VMEM limit).
-
-
-
 def _env_tile_rows(name, default=8):
     """Sanitized tile-row override: Mosaic's sublane law needs multiples
     of 8; clamp bad env values instead of emitting illegal BlockSpecs
@@ -51,6 +44,10 @@ def _env_tile_rows(name, default=8):
     return max(8, (v // 8) * 8)
 
 
+# rows per tile for the fused CT transform kernels (forward/inverse block
+# DFTs). Env-tunable for on-device sweeps: bigger tiles raise the matmul
+# M dim and amortize per-cell fixed cost; the CT temporaries scale with
+# st (st=8 ~4 MB; st=16 ~8 MB — near but under the VMEM limit).
 CT_ST = _env_tile_rows("DETEX_TPU_CT_ST")
 
 

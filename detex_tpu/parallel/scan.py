@@ -537,6 +537,9 @@ def _os_fold_route(bank, st, B, Lc_mux, calc_hist, unb, thresholds):
       route "fold"    — unblocked fold-batch scan (_fold_chunks_fn)
       route "blocked" — template-blocked fold (_fold_chunks_blocked_fn)
       route None      — per-chunk lax.map path (_chunk_fn)
+
+    Non-overlap-save banks fall straight through to the None route (the
+    fold predicates gate on demux == "os"), so callers need no guard.
     """
     Xp = np.broadcast_to(np.float32(0), (B, Lc_mux))   # shape probe only
     if _fold_scan_ok(bank, st, Xp, calc_hist, unb):
@@ -582,10 +585,7 @@ def scan_chunks(X, bank, thresholds, nc, buff_samps, bins=None, max_trig=64,
     unb = _uniform_nbin(bins)
     route, mode, arrs, th = _os_fold_route(
         bank, st, int(X.shape[0]), int(X.shape[1]), calc_hist, unb,
-        thresholds) if st["demux"] == "os" else (None, None,
-                                                 _bank_arrays(bank),
-                                                 _blocked_thresholds(
-                                                     bank, thresholds))
+        thresholds)
     if route == "fold":
         return _scan_chunks_fold_jit(
             jnp.asarray(X, jnp.float32), jnp.asarray(nv), arrs, th,
@@ -775,12 +775,10 @@ def _sharded_scan_raw_os_fn(mesh, n_c, nc, blk_fft, buff_samps, max_trig,
         # valid DS samples per chunk; padded (LV=0) rows clamp to 0 ==
         # fully masked, matching _pad_batch's zero-length chunk contract
         NV = jnp.maximum((lens_mux - n_tpl) // nc + 1, 0).astype(jnp.int32)
-        if route == "fold":
-            hist, maxds, tidx, tval, tcnt = _fold_chunks_fn(
-                X, NV, arrs, thresholds, n_c, nc, blk_fft, buff_samps,
-                max_trig, S, calc_hist, uniform_nbin, specds_mode)
-        elif route == "blocked":
-            hist, maxds, tidx, tval, tcnt = _fold_chunks_blocked_fn(
+        if route:
+            body = (_fold_chunks_blocked_fn if route == "blocked"
+                    else _fold_chunks_fn)
+            hist, maxds, tidx, tval, tcnt = body(
                 X, NV, arrs, thresholds, n_c, nc, blk_fft, buff_samps,
                 max_trig, S, calc_hist, uniform_nbin, specds_mode)
         else:
@@ -821,9 +819,7 @@ def scan_chunks_sharded(mesh, X, bank, thresholds, nc, buff_samps,
     # kernel routing decided on the PER-SHARD batch size
     route, mode, arrs, th = _os_fold_route(
         bank, st, int(X.shape[0]) // mesh.size, int(X.shape[1]),
-        calc_hist, unb, thresholds) if st["demux"] == "os" else (
-            None, None, _bank_arrays(bank),
-            _blocked_thresholds(bank, thresholds))
+        calc_hist, unb, thresholds)
     if route:
         fn = _sharded_scan_fold_fn(mesh, st["n_c"], int(nc), st["nfft"],
                                    int(buff_samps), int(max_trig), axis,
