@@ -342,3 +342,37 @@ def test_sharded_raw_os_blocked_matches_single_device(pallas_env):
     assert np.array_equal(tidx_g, tidx_w)
     m = tidx_g >= 0
     assert np.allclose(tval_g[m], tval_w[m], atol=2e-5)
+
+
+def test_env_tile_rows_sanitized(monkeypatch):
+    """Tile-row env overrides clamp to multiples of 8 (Mosaic sublane
+    law) and survive garbage values."""
+    from detex_tpu.ops.pallas_kernels import _env_tile_rows
+    monkeypatch.setenv("X_TILE", "12")
+    assert _env_tile_rows("X_TILE") == 8
+    monkeypatch.setenv("X_TILE", "16")
+    assert _env_tile_rows("X_TILE") == 16
+    monkeypatch.setenv("X_TILE", "3")
+    assert _env_tile_rows("X_TILE") == 8
+    monkeypatch.setenv("X_TILE", "banana")
+    assert _env_tile_rows("X_TILE") == 8
+    monkeypatch.delenv("X_TILE")
+    assert _env_tile_rows("X_TILE") == 8
+
+
+def test_os_fold_route_non_os_bank(pallas_env):
+    """Non-overlap-save banks fall through to the per-chunk route with
+    blocked arrays/thresholds — callers need no demux guard."""
+    rng = np.random.default_rng(2)
+    nc, Lc = 3, 9000
+    n = 30 * nc
+    U = rng.standard_normal((1, n))
+    U = U / np.linalg.norm(U)
+    bank = dsops.build_bank([U], nc, Lc, block_fft=0)   # force full-length
+    assert not bank.get("os")
+    st = pscan._bank_statics(bank, nc)
+    th = np.array([0.3], np.float32)
+    route, mode, arrs, thd = pscan._os_fold_route(bank, st, 4, Lc, True,
+                                                  400, th)
+    assert route is None and mode is None
+    assert len(arrs) == 3
