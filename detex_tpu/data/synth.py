@@ -74,10 +74,16 @@ class SynthCatalog(object):
                 chans = [make_source(rng, sr, f0=f0) for _ in range(3)]
                 self.sources[(s, ista)] = chans
 
-        # schedule events
+        # schedule events: one per distinct hour slot while slots last
+        # (identical draw order to before), tiling the slots when the
+        # catalog asks for more events than span hours (small-span
+        # miniatures; multiple events then share an hour)
         events = []
         eid = 0
-        hours = rng.permutation(int(span_hours) - 1)
+        n_ev = n_sources * events_per_source + n_singles
+        slots = np.arange(max(int(span_hours) - 1, 1))
+        reps = -(-n_ev // len(slots))
+        hours = rng.permutation(np.tile(slots, reps))
         hi = 0
         for s in range(n_sources):
             for k in range(events_per_source):
