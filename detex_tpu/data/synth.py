@@ -118,10 +118,21 @@ class SynthCatalog(object):
         avail = [h for h in range(int(self.span // 3600) - 1)
                  if h not in used_hours]
         rng.shuffle(avail)
+        # dense miniatures can use every hour: reuse hours with a LATE
+        # in-hour offset so hidden events never overlap the scheduler's
+        # 600-3000 s window (n_free tracks which slots get the early
+        # offset; the free-slot path is unchanged)
+        n_free = len(avail)
+        if n_free < n:
+            extra = list(range(int(self.span // 3600) - 1))
+            rng.shuffle(extra)
+            avail = avail + extra
         for k in range(n):
             src = (sources[k % len(sources)] if sources
                    else k % max(nsrc - 1, 1))
-            otime = self.t0 + avail[k] * 3600.0 + float(rng.uniform(600, 3000))
+            off = float(rng.uniform(600, 3000)) if k < n_free else \
+                float(rng.uniform(3100, 3500))
+            otime = self.t0 + avail[k] * 3600.0 + off
             self.hidden.append(dict(src=src, time=otime,
                                     mag=mag + float(rng.uniform(-0.3, 0.5))))
         self.hidden.sort(key=lambda e: e["time"])
