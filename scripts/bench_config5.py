@@ -88,6 +88,8 @@ def main():
     t_assoc = time.perf_counter() - t0
     print("results:", repr(res), flush=True)
 
+    vers = getattr(res, "Vers", None)
+    n_verified = int(len(vers)) if vers is not None else 0
     station_days = 5 * span_hours / 24.0
     det_per_station = n_ss / max(len(ss.ssStations), 1) + \
         n_sg / max(len(ss.singStations), 1)
@@ -103,7 +105,7 @@ def main():
                           "subspace+svd+fas": round(t_build, 1),
                           "detex": round(t_detex, 1),
                           "association": round(t_assoc, 1)},
-        "verified": int(len(getattr(res, "Vers", []) or [])),
+        "verified": n_verified,
     }))
 
 
