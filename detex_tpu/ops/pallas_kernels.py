@@ -50,6 +50,10 @@ def _env_tile_rows(name, default=8):
 # st (st=8 ~4 MB; st=16 ~8 MB — near but under the VMEM limit).
 CT_ST = _env_tile_rows("DETEX_TPU_CT_ST")
 
+# experimental (A/B on device): batch the fused kernel's per-row hist
+# one-hot dots into one wide dot per finalize (see _spec_ds_fold_kernel)
+HIST_BATCH = os.environ.get("DETEX_TPU_HIST_BATCH", "0") == "1"
+
 
 def _kdot(prec):
     """In-kernel [M,K]@[K,N] matmul for the CT kernels. Mosaic lowers
@@ -881,13 +885,31 @@ def _spec_ds_fold_kernel(ur_ref, ui_ref, fr_ref, fi_ref, a_ref, p_ref,
             # bf16 one-hot operands: 0/1 are exact in bf16 and the f32
             # accumulator keeps the counts exact, but the dot runs as ONE
             # MXU pass instead of the multi-pass f32 emulation
-            for s in range(st):
-                A = (coarse[s:s + 1, :] == kio).astype(jnp.bfloat16)
-                Bf = (fine[s:s + 1, :] == kio).astype(jnp.bfloat16)
+            if HIST_BATCH:
+                # experimental: ONE [st*g, W] x [W, st*g] dot for all tile
+                # rows (1/st the dot issues; cross-row blocks are wasted
+                # FLOPs) + static diagonal-block extraction. Identical
+                # counts; A/B via DETEX_TPU_HIST_BATCH on device.
+                rep = lambda x: jnp.broadcast_to(          # noqa: E731
+                    x.reshape(st, 1, W), (st, g, W)).reshape(st * g, W)
+                ki = jax.lax.broadcasted_iota(jnp.float32, (st * g, 1), 0)
+                kim = ki - jnp.floor(ki * (1.0 / g)) * g   # row's bin id
+                A = (rep(coarse) == kim).astype(jnp.bfloat16)
+                Bf = (rep(fine) == kim).astype(jnp.bfloat16)
                 cnt = jax.lax.dot_general(
                     A, Bf, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                hist_ref[s] += cnt
+                for s in range(st):
+                    hist_ref[s] += cnt[s * g:(s + 1) * g,
+                                       s * g:(s + 1) * g]
+            else:
+                for s in range(st):
+                    A = (coarse[s:s + 1, :] == kio).astype(jnp.bfloat16)
+                    Bf = (fine[s:s + 1, :] == kio).astype(jnp.bfloat16)
+                    cnt = jax.lax.dot_general(
+                        A, Bf, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    hist_ref[s] += cnt
 
 
 # rows per tile (chunks x templates; basis dims ride the innermost grid
