@@ -105,7 +105,9 @@ def load_detectors(path, chunk_sec=3600.0, conBuff=120.0):
                                            for d, _ in items], np.float32)
             banks.append(bank)
         out[sta] = dict(banks=banks, nc=nc, sr=sr, meta=sm,
-                        chunk_sec=chunk_sec, conBuff=conBuff)
+                        chunk_sec=chunk_sec, conBuff=conBuff,
+                        filt=list(meta.get("filt") or []) or None,
+                        dec=int(meta.get("decimate") or 1))
     return out
 
 
@@ -148,6 +150,88 @@ def scan_station(dep, sta, chunks, mesh=None, bins=None, buff_sec=20.0,
         hist, maxds, ti, tv, tc = _scan.scan_chunks(
             padded, bank, bank["thresholds"], nc, buff, bins=bins,
             max_trig=max_trig, valid_lens=vlens, mesh=mesh,
+            calc_hist=calc_hist)
+        results.append(dict(names=bank["names"], hist=np.asarray(hist),
+                            maxds=np.asarray(maxds),
+                            trig_idx=np.asarray(ti),
+                            trig_val=np.asarray(tv),
+                            trig_count=np.asarray(tc)))
+    return results
+
+
+def _bank_H(bank, nc, filt, dec, sr):
+    """Spectral response for the fused device prep, cached on the bank —
+    the same formula the detection engine uses (detect._prepareDetectors:
+    zero-phase |H|^2 over dec * nfftp bins at the RAW rate; overlap-save
+    banks carry no full-length FFT size, so it is recomputed with the
+    demux-bank formula)."""
+    if "H" not in bank:
+        import jax.numpy as jnp
+        from detex_tpu.ops import prep as _prep
+        raw_sr = sr * dec
+        if bank.get("os"):
+            nfftp = 2 ** int(bank["pad_len"] // nc
+                             + bank["n_c"]).bit_length()
+        else:
+            nfftp = bank["nfft2"]
+        nbins = dec * nfftp
+        if filt:
+            if filt[1] >= sr / 2.0 and dec > 1:
+                raise ValueError(
+                    "device decimation needs the bandpass high corner "
+                    "below the decimated Nyquist (%.3g Hz)" % (sr / 2.0))
+            bank["H"] = _prep.butter_response(filt, raw_sr, nbins,
+                                              zerophase=bool(filt[3]))
+        else:
+            bank["H"] = jnp.ones(nbins // 2 + 1, jnp.float32)
+    return bank["H"]
+
+
+def scan_station_raw(dep, sta, chans, lens=None, mesh=None, bins=None,
+                     buff_sec=20.0, max_trig=64, calc_hist=True):
+    """
+    Scan RAW channel chunks [B, nc, L_raw] (unfiltered, undecimated, as
+    read from the wire/archive): detrend + zero-phase bandpass + optional
+    decimation run FUSED ON DEVICE (the engine's devicePrep path,
+    ops/prep.py), then the fold-batch / fused spec->DS scan — no host
+    preprocessing in the hot loop. The artifact's ``filt``/``decimate``
+    metadata define the preprocessing, so results match scan_station on
+    host-prepped chunks to the spectral-vs-SOS filter tolerance
+    (~1e-3 DS; see detect.devicePrepEps).
+
+    ``lens`` ([B], optional) gives each chunk's true RAW per-channel
+    sample count for zero-padded rows. Returns the same per-bank dicts as
+    scan_station. Requires demuxed banks (template length divisible by
+    nc — always true for multiplexed detectors).
+    """
+    sd = dep[sta]
+    nc, sr = sd["nc"], sd["sr"]
+    dec = int(sd.get("dec") or 1)
+    filt = sd.get("filt")
+    buff = int(buff_sec * sr)
+    chans = np.asarray(chans, np.float32)
+    if chans.ndim != 3 or chans.shape[1] != nc:
+        raise ValueError("chans must be [B, nc=%d, L_raw]" % nc)
+    B, _, L_raw = chans.shape
+    if lens is None:
+        lens = np.full(B, L_raw, np.int64)
+    lens = np.asarray(lens, np.int64)
+    results = []
+    for bank in sd["banks"]:
+        if not bank.get("demux"):
+            raise ValueError("scan_station_raw needs demuxed banks "
+                             "(template length divisible by nc)")
+        Lp = (bank["pad_len"] // nc) * dec
+        if L_raw < Lp:
+            padded = np.zeros((B, nc, Lp), np.float32)
+            padded[:, :, :L_raw] = chans
+        else:
+            padded = chans[:, :, :Lp]
+        vl = np.minimum(lens, Lp)
+        H = _bank_H(bank, nc, filt, dec, sr)
+        hist, maxds, ti, tv, tc = _scan.scan_chunks_raw(
+            padded, vl, H, bank, bank["thresholds"], nc, buff_samps=buff,
+            bins=bins, max_trig=max_trig, dec=dec, mesh=mesh,
             calc_hist=calc_hist)
         results.append(dict(names=bank["names"], hist=np.asarray(hist),
                             maxds=np.asarray(maxds),

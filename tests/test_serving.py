@@ -145,3 +145,39 @@ def test_scan_station_calc_hist_off(deployment):
         assert np.allclose(a["maxds"], b["maxds"])
         assert (a["trig_count"] == b["trig_count"]).all()
         assert (a["trig_idx"] == b["trig_idx"]).all()
+
+
+def test_scan_station_raw_matches_host_prep(deployment):
+    """scan_station_raw (fused on-device detrend + bandpass, the engine's
+    devicePrep path exposed through the serving API) must agree with
+    scan_station on host-filtered chunks to the spectral-vs-SOS filter
+    tolerance, on raw chunks straddling a hidden event."""
+    dep = serving.load_detectors(deployment["path"], chunk_sec=3600,
+                                 conBuff=120)
+    assert dep["TA.S00"]["filt"] == [1, 8, 2, True]
+    synth = deployment["synth"]
+    cat = synth["cat"]
+    hidden = cat.hidden[0]
+    t0 = cat.t0 + (int((hidden["time"] - cat.t0) // 3600)) * 3600.0
+    fet = deployment["cfetch"]
+    starts = [t0, t0 + 3600]
+    raw, host = [], []
+    order = ["BHE", "BHN", "BHZ"]
+    for s in starts:
+        st = fet.getStream(s, s + 3720, "TA", "S00", order, "*")
+        raw.append(np.stack([
+            np.asarray(st.select(channel=c)[0].data, np.float32)
+            for c in order]))
+        host.append(multiplex(_applyFilter(st.copy(), [1, 8, 2, True]), 3))
+    L = min(r.shape[1] for r in raw)
+    Xc = np.stack([r[:, :L] for r in raw])
+    Lm = min(len(h) for h in host)
+    X = np.stack([h[:Lm] for h in host])
+    res_raw = serving.scan_station_raw(dep, "TA.S00", Xc)
+    res_host = serving.scan_station(dep, "TA.S00", X)
+    found = False
+    for rr, rh in zip(res_raw, res_host):
+        assert rr["maxds"].shape == rh["maxds"].shape
+        assert np.allclose(rr["maxds"], rh["maxds"], atol=5e-3)
+        found = found or (rr["maxds"] > 0.6).any()
+    assert found          # the planted event clears threshold either way
