@@ -631,14 +631,87 @@ class SubSpace(object):
     # ------------------------------------------------------------------
     # Picks
     # ------------------------------------------------------------------
-    def pickTimes(self, *args, **kwargs):
-        """The reference's PyQt4 GUI picker (subspace.py:1328-1416) is not
-        supported; use attachPickTimes with a phase file, or autoPickTimes
-        for an automatic STA/LTA-based trim."""
-        detex_tpu.log(__name__, "interactive pickTimes GUI is not supported "
-                      "in detex_tpu; use attachPickTimes(pksFile) or "
-                      "autoPickTimes()", level="error",
-                      e=NotImplementedError)
+    def pickTimes(self, duration=30, traceLimit=15, repick=False,
+                  subspaces=True, singles=True, pickerFactory=None):
+        """
+        Interactive trim picking (reference subspace.py:1328-1416): open
+        each unpicked subspace/singleton group in the matplotlib picker
+        (detex_tpu.streamPick — q/a/w/s pick P/Pend/S/Send at the cursor,
+        'v' advances, escape aborts saving progress) and derive
+        SampleTrims from the picked phases exactly like the reference —
+        the earliest pick opens the window, ``duration`` (or the latest
+        pick) closes it.
+
+        ``pickerFactory`` injects a scripted picker for headless use:
+        any callable ``stream -> obj`` exposing ``._picks`` and
+        ``.KeepGoing``. File-based/automatic alternatives remain
+        attachPickTimes(pksFile) and autoPickTimes().
+        """
+        if pickerFactory is None:
+            from detex_tpu.streamPick import streamPick as pickerFactory
+        if subspaces:
+            if self._pickTimes(self.subspaces, duration, traceLimit,
+                               pickerFactory, repick=repick) is False:
+                return
+        if singles:
+            self._pickTimes(self.singles, duration, traceLimit,
+                            pickerFactory, repick=repick)
+
+    def _pickTimes(self, trdfDict, duration, traceLimit, pickerFactory,
+                   repick=False):
+        """GUI-picking loop over one group dict; False = user aborted."""
+        for sta in trdfDict:
+            df = trdfDict[sta]
+            for ind, row in df.iterrows():
+                if row.SampleTrims and not repick:
+                    continue
+                st = self._makeOpStream(ind, row, traceLimit)
+                pks = pickerFactory(st)
+                d1 = {b.phase_hint: b.time.timestamp
+                      for b in pks._picks if b}
+                if d1:
+                    eves, starttimes, Nc, Sr = self._getStats(row)
+                    # picks are on the multiplexed synthetic traces
+                    # (sr=1, starttime=0): timestamps ARE sample indices;
+                    # snap the window open to a channel-aligned sample
+                    fp = int(min(d1.values()))
+                    d1["Starttime"] = fp - fp % Nc
+                    stime = d1["Starttime"]
+                    if duration:
+                        d1["Endtime"] = stime + int(duration * Sr * Nc)
+                        d1["DurationSeconds"] = duration
+                    else:
+                        etime = int(max(d1.values()))
+                        d1["Endtime"] = etime
+                        d1["DurationSeconds"] = (etime - stime) / (Sr * Nc)
+                    df.at[ind, "SampleTrims"] = d1
+                    stats = df.at[ind, "Stats"]
+                    for event in eves:
+                        stN = stats[event]["starttime"] + stime / (Nc * Sr)
+                        stats[event]["starttime"] = stN
+                        stats[event]["offset"] = (
+                            stN - stats[event]["origintime"])
+                if not pks.KeepGoing:
+                    detex_tpu.log(__name__, "aborting picking, progress "
+                                  "saved", level="info", pri=True)
+                    return False
+            self._updateOffsets()
+        return True
+
+    def _makeOpStream(self, ind, row, traceLimit):
+        """Multiplexed group waveforms as a pickable stream: one trace per
+        event (channel=event, sr=1 so pick timestamps are multiplexed
+        sample indices — reference subspace.py:1418-1441)."""
+        from detex_tpu.core.stream import Stream, Trace
+        st = Stream()
+        wfs = (row.AlignedTD if "AlignedTD" in row
+               and isinstance(row.AlignedTD, dict) else row.MPtd)
+        for key in row.Events[:traceLimit]:
+            st += Trace(data=np.asarray(wfs[key]),
+                        header=dict(channel=key,
+                                    network=str(row.get("Name", "")),
+                                    station=row.Station))
+        return st
 
     def autoPickTimes(self, duration=30, staTime=0.5, ltaTime=5.0,
                       repick=False):

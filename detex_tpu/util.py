@@ -164,23 +164,82 @@ def get_number_channels(st):
     return len({tr.stats.channel for tr in st})
 
 
-def seeWaveFroms(*args, **kwargs):
-    """The reference's GUI template browser/picker (util.py:1104-1190,
-    PyQt4-bound and non-functional as shipped); not supported in detex_tpu.
-    Use autoPickPhases for the same PhasePicks.csv output."""
-    detex_tpu.log(__name__, "interactive seeWaveFroms GUI is not supported "
-                  "in detex_tpu; use detex_tpu.util.autoPickPhases",
-                  level="error", e=NotImplementedError)
+def seeWaveFroms(fetch="ContinuousWaveForms", templatekey="TemplateKey.csv",
+                 stationkey="StationKey.csv", outFile="PhasePicks.csv",
+                 **kwargs):
+    """The reference's template browser over continuous data
+    (util.py:1104-1190 — shipped non-functional: it reads undefined
+    ``stationkey``/``pickFile`` variables). detex_tpu implements the
+    intent: the same pick-GUI loop as :func:`pickPhases` fed from the
+    continuous-data directory."""
+    return pickPhases(fetch=fetch, templatekey=templatekey,
+                      stationkey=stationkey, pickFile=outFile, **kwargs)
 
 
-def pickPhases(*args, **kwargs):
-    """The reference's interactive PyQt4 pick GUI is not supported; use
-    autoPickPhases for an automatic STA/LTA picker writing the same
-    PhasePicks.csv format, or supply your own picks file."""
-    detex_tpu.log(__name__, "interactive pickPhases GUI is not supported in "
-                  "detex_tpu; use detex_tpu.util.autoPickPhases or provide "
-                  "a picks csv (TimeStamp, Station, Event, Phase)",
-                  level="error", e=NotImplementedError)
+def pickPhases(fetch="EventWaveForms", templatekey="TemplateKey.csv",
+               stationkey="StationKey.csv", pickFile="PhasePicks.csv",
+               skipIfExists=True, pickerFactory=None, **kwargs):
+    """
+    Interactive phase picking over the template waveforms (reference
+    util.py:1007-1101): each station/event stream opens in the matplotlib
+    picker (detex_tpu.streamPick — q/a/w/s pick P/Pend/S/Send at the
+    cursor, 'v' advances, escape aborts saving progress); picks append to
+    ``pickFile`` (columns TimeStamp, Station, Event, Phase, Channel,
+    Seconds), saved every 10 events and on abort.
+
+    ``pickerFactory`` injects a scripted picker (callable ``stream ->
+    obj`` with ``._picks``/``.KeepGoing``) for headless runs; the
+    automatic alternative is :func:`autoPickPhases`.
+    kwargs pass to ``quickFetch``.
+    """
+    from detex_tpu.data import fetcher as getdata
+    if pickerFactory is None:
+        from detex_tpu.streamPick import streamPick as pickerFactory
+    temkey = readKey(templatekey, key_type="template")
+    stakey = readKey(stationkey, key_type="station")
+    cols = ["TimeStamp", "Station", "Event", "Phase", "Channel", "Seconds"]
+    fetcher = getdata.quickFetch(fetch, **kwargs)
+    ets = {}  # already-picked (station -> events) to skip
+    rows = []
+    if os.path.exists(pickFile):
+        old = pd.read_csv(pickFile)
+        if len(old) < 1:
+            os.remove(pickFile)
+        else:
+            rows = old.to_dict("records")
+            if skipIfExists:
+                for _, r in old.iterrows():
+                    ets.setdefault(r.Station, []).append(r.Event)
+
+    def _save():
+        df = pd.DataFrame(rows, columns=cols)
+        df = df.sort_values(by=["Station", "Event"]).reset_index(drop=True)
+        df.to_csv(pickFile, index=False)
+        return df
+
+    count = 0
+    for st, event in fetcher.getTemData(temkey, stakey, skipDict=ets,
+                                        returnName=True):
+        if st is None or len(st) < 1:
+            continue
+        count += 1
+        pks = pickerFactory(st)
+        sta = "%s.%s" % (st[0].stats.network, st[0].stats.station)
+        for b in pks._picks:
+            if not b:
+                continue
+            tstamp = b["time"].timestamp
+            rows.append({"TimeStamp": tstamp, "Station": sta,
+                         "Event": event, "Phase": b.phase_hint,
+                         "Channel": b["waveform_id"]["channel_code"],
+                         "Seconds": "%3.5f" % tstamp})
+        if not pks.KeepGoing:
+            detex_tpu.log(__name__, "Exiting picking GUI, progress saved "
+                          "in %s" % pickFile, level="info", pri=True)
+            return _save()
+        if count % 10 == 0:
+            _save()
+    return _save()
 
 
 def autoPickPhases(templateKey="TemplateKey.csv", stationKey="StationKey.csv",

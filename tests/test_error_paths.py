@@ -67,8 +67,9 @@ def test_svd_bad_selection():
         ss.SVD(selectCriteria=4, selectValue=0.5)
 
 
-def test_streampick_raises():
-    with pytest.raises(NotImplementedError):
+def test_streampick_requires_stream():
+    # reference contract: streamPick(None) raises (streamPick.py:55-57)
+    with pytest.raises(ValueError):
         streamPick.streamPick()
 
 

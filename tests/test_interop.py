@@ -85,8 +85,10 @@ def test_auto_pick_phases(synth_case, tmp_path):
     assert err.median() < 2.0
 
 
-def test_pickphases_gui_raises():
-    with pytest.raises(NotImplementedError):
+def test_pickphases_missing_keys_raises(tmp_path):
+    # no TemplateKey.csv in cwd -> readKey errors before any GUI opens
+    os.chdir(tmp_path)
+    with pytest.raises(detex_tpu.DetexError):
         util.pickPhases()
 
 
@@ -156,5 +158,7 @@ def test_get_number_channels_and_seewavefroms():
                                            sampling_rate=10.0))
            for c in ("BHZ", "BHN", "BHE", "BHZ")]
     assert util.get_number_channels(Stream(traces=trs)) == 3
-    with pytest.raises(NotImplementedError):
+    # seeWaveFroms is the pickPhases loop over continuous data; with no
+    # keys in cwd it errors at readKey like pickPhases does
+    with pytest.raises(detex_tpu.DetexError):
         util.seeWaveFroms()
