@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from detex_tpu.ops.rolling import rolling_mean
+from detex_tpu.ops.rolling import rolling_mean, window_stats_rows
 
 
 def _use_pallas():
@@ -202,12 +202,10 @@ def ds_bank_demux(x, Ufd2, sum_u, d_mask, n_c, nc, nfft2):
     xs = (x - mu) / jnp.where(sd == 0, 1.0, sd)
     xc = xs.reshape(L_c, nc).T                       # [nc, L_c]
 
-    # per-channel rolling sums -> multiplexed window stats at strided starts
-    s1 = jax.vmap(lambda v: rolling_mean(v, n_c))(xc).sum(0) * n_c  # [M]
-    s2 = jax.vmap(lambda v: rolling_mean(v * v, n_c))(xc).sum(0) * n_c
-    a = s1 / n
-    var_samp = (s2 - s1 * s1 / n) / (n - 1.0)
-    power = jnp.maximum(var_samp, 0.0) * n
+    # per-channel rolling sums -> multiplexed window stats at strided
+    # starts (MXU two-level prefix sums, rolling.window_stats_rows)
+    a, power = window_stats_rows(xc[None], n_c, n)
+    a, power = a[0], power[0]
 
     # full-length path: keep the backend FFT — its per-FFT overhead is
     # paid only nc + S*Dmax times per chunk here (large banks route to
@@ -327,12 +325,11 @@ def os_prep(x, n_c, nc, blk_fft):
     xs = (x - mu) / jnp.where(sd == 0, 1.0, sd)
     xc = xs.reshape(L_c, nc).T                  # [nc, L_c]
 
-    # window stats exactly as the full-length kernel
-    s1 = jax.vmap(lambda v: rolling_mean(v, n_c))(xc).sum(0) * n_c
-    s2 = jax.vmap(lambda v: rolling_mean(v * v, n_c))(xc).sum(0) * n_c
-    a = s1 / n
-    var_samp = (s2 - s1 * s1 / n) / (n - 1.0)
-    power = jnp.maximum(var_samp, 0.0) * n
+    # window stats exactly as the full-length kernel (MXU two-level
+    # prefix sums — a plain cumsum over million-sample rows is ~log2(L)
+    # full-array passes on TPU, rolling.rolling_sum_rows)
+    a, power = window_stats_rows(xc[None], n_c, n)
+    a, power = a[0], power[0]
 
     # overlapping data blocks, transformed once for every template.
     # Window i covers [i*W - pad0, i*W - pad0 + blk) of the signal (the
@@ -463,14 +460,7 @@ def os_prep_batch(X, n_c, nc, blk_fft):
     xs = (X - mu) / jnp.where(sd == 0, 1.0, sd)
     xc = xs.reshape(B, L_c, nc).transpose(0, 2, 1)      # [B, nc, L_c]
 
-    flat = xc.reshape(B * nc, L_c)
-    s1 = jax.vmap(lambda v: rolling_mean(v, n_c))(flat)
-    s2 = jax.vmap(lambda v: rolling_mean(v * v, n_c))(flat)
-    s1 = s1.reshape(B, nc, -1).sum(axis=1) * n_c        # [B, M]
-    s2 = s2.reshape(B, nc, -1).sum(axis=1) * n_c
-    a = s1 / n
-    var_samp = (s2 - s1 * s1 / n) / (n - 1.0)
-    power = jnp.maximum(var_samp, 0.0) * n
+    a, power = window_stats_rows(xc, n_c, n)            # [B, M]
 
     k = -(-blk_fft // W) + 1
     xp = jnp.pad(xc, ((0, 0), (0, 0),
@@ -553,14 +543,7 @@ def os_prep_batch_pair(X, n_c, nc, blk_fft):
     xs = (X - mu) / jnp.where(sd == 0, 1.0, sd)
     xc = xs.reshape(B, L_c, nc).transpose(0, 2, 1)      # [B, nc, L_c]
 
-    flat = xc.reshape(B * nc, L_c)
-    s1 = jax.vmap(lambda v: rolling_mean(v, n_c))(flat)
-    s2 = jax.vmap(lambda v: rolling_mean(v * v, n_c))(flat)
-    s1 = s1.reshape(B, nc, -1).sum(axis=1) * n_c        # [B, M]
-    s2 = s2.reshape(B, nc, -1).sum(axis=1) * n_c
-    a = s1 / n
-    var_samp = (s2 - s1 * s1 / n) / (n - 1.0)
-    power = jnp.maximum(var_samp, 0.0) * n
+    a, power = window_stats_rows(xc, n_c, n)            # [B, M]
 
     k = -(-blk_fft // W) + 1
     xp = jnp.pad(xc, ((0, 0), (0, 0),

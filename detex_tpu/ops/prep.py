@@ -30,7 +30,6 @@ import jax.numpy as jnp
 import numpy as np
 from scipy import signal as _sig
 
-from detex_tpu.ops.rolling import rolling_mean
 
 
 def butter_response(filt, sr, nfft, zerophase=True):
@@ -106,11 +105,9 @@ def ds_bank_demux_raw(xc, Lv, H, Ufd2, sum_u, d_mask, n_c, nc, nfft2,
     sd = jnp.sqrt(jnp.maximum(var, 1e-30))
     xs = ((xf - mu) / sd) * w                         # standardized, pad=0
 
-    s1 = jax.vmap(lambda v: rolling_mean(v, n_c))(xs).sum(0) * n_c
-    s2 = jax.vmap(lambda v: rolling_mean(v * v, n_c))(xs).sum(0) * n_c
-    a = s1 / n
-    var_samp = (s2 - s1 * s1 / n) / (n - 1.0)
-    power = jnp.maximum(var_samp, 0.0) * n
+    from detex_tpu.ops.rolling import window_stats_rows
+    a, power = window_stats_rows(xs[None], n_c, n)
+    a, power = a[0], power[0]
 
     # correlation spectra from the UNstandardized filtered spectra, fixed
     # up algebraically: cc_std = (cc_raw - mu * sum_u) / sd

@@ -17,7 +17,10 @@ compute population mean/var/std directly.
 """
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax.numpy as jnp
+import numpy as np
 
 
 def rolling_sum(x, n):
@@ -33,6 +36,67 @@ def rolling_sum(x, n):
 def rolling_mean(x, n):
     """Sliding-window mean, output length ``len(x) - n + 1``."""
     return rolling_sum(x, n) / n
+
+
+@lru_cache(maxsize=None)
+def _tri(T):
+    """Upper-triangular ones (incl. diagonal): x @ _tri == cumsum(x).
+    Host numpy so it embeds as a program constant (device-array constants
+    would force a transfer through the axon tunnel at lowering)."""
+    return np.triu(np.ones((T, T), np.float32))
+
+
+def rolling_sum_rows(x, n, tile=128):
+    """Batched sliding-window sums over the LAST axis: x [R, L] ->
+    [R, L - n + 1].
+
+    Semantics match ``vmap(rolling_sum)(x)``, but the prefix sum is
+    two-level: the intra-tile cumsum is ONE flat [R*nt, T] @ [T, T]
+    triangular matmul (MXU) and only the per-tile totals see a real
+    cumsum ([R, nt] — thousands of elements, not millions). A plain
+    ``jnp.cumsum`` over million-sample rows lowers to ~log2(L) shifted
+    full-array adds on TPU — measured as more than HALF the entire
+    subspace-scan launch (PERF.md round 3d) — while this form is one
+    MXU pass plus two elementwise passes.
+
+    Precision: rows are mean-centered before the prefix sum (the cumsum
+    stays an O(sqrt(L)) random walk — same trick as rolling_sum) and the
+    tile dot runs at the package DFT precision (HIGH: 3-pass bf16 on
+    TPU, f32 elsewhere).
+    """
+    from detex_tpu.ops import dft as _dft
+    T = int(tile)
+    R, L = x.shape
+    mu = jnp.mean(x, axis=1, keepdims=True)
+    xc = x - mu
+    nt = -(-L // T)
+    xp = jnp.pad(xc, ((0, 0), (0, nt * T - L)))
+    intra = jnp.matmul(xp.reshape(R * nt, T), _tri(T),
+                       precision=_dft._precision()).reshape(R, nt, T)
+    tsum = intra[:, :, -1]                              # [R, nt]
+    off = jnp.cumsum(tsum, axis=1) - tsum               # exclusive
+    C = (intra + off[:, :, None]).reshape(R, nt * T)[:, :L]
+    head = C[:, n - 1:n]
+    body = C[:, n:] - C[:, :L - n]
+    return jnp.concatenate([head, body], axis=1) + n * mu
+
+
+def window_stats_rows(xc, n_c, n):
+    """Shared DS window statistics from demuxed rows xc [B, nc, L_c]:
+    returns (a, power) [B, L_c - n_c + 1] — the per-window multiplexed
+    mean and population power the DS finalize divides by (reference
+    detect.py:566-568 semantics). One rolling_sum_rows call covers x and
+    x^2 for every (chunk, channel) row."""
+    B, nc, L_c = xc.shape
+    flat = xc.reshape(B * nc, L_c)
+    both = jnp.concatenate([flat, flat * flat], axis=0)
+    sums = rolling_sum_rows(both, n_c)
+    s1 = sums[:B * nc].reshape(B, nc, -1).sum(axis=1)   # [B, M]
+    s2 = sums[B * nc:].reshape(B, nc, -1).sum(axis=1)
+    a = s1 / n
+    var_samp = (s2 - s1 * s1 / n) / (n - 1.0)
+    power = jnp.maximum(var_samp, 0.0) * n
+    return a, power
 
 
 def rolling_mean_var(x, n):
