@@ -113,7 +113,8 @@ def bench_scan(mode="subspace"):
         thresholds = np.full(S, 0.99, np.float32)
         # chunks per launch: amortizes the tunnel launch latency (the
         # fused spec->DS kernel removed the per-chunk HBM intermediates
-        # that used to cap this; measured B=4 -> 0.342, B=8 -> 0.387)
+        # that used to cap this; measured B=4 -> 0.342, B=8 -> 0.387,
+        # and with packed dots B=8 -> 0.408 vs B=16 -> 0.396: plateaued)
         B = int(os.environ.get("BENCH_B", "8"))
         iters = 8
         n_data = 8
@@ -134,7 +135,7 @@ def bench_scan(mode="subspace"):
         # chunks per device call; the fold path amortizes per-op fixed
         # cost over the whole batch, so bigger is better until HBM caps
         # it (fused spec->DS path: 1h B=128 -> 37.3, 1h B=256 -> 40.2,
-        # 2h B=128 -> 47.7 st-d/s)
+        # 2h B=128 -> 47.7 st-d/s; 4h B=64 -> 44.9: 2h is the optimum)
         B = int(os.environ.get(
             "BENCH_B", str(max(1, int(round(256 / SUBSPACE_CHUNK_HOURS))))))
         iters = 2
