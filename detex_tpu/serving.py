@@ -126,9 +126,8 @@ def scan_station(dep, sta, chunks, mesh=None, bins=None, buff_sec=20.0,
     Returns list of per-bank dicts: {names, hist [S, nbins], maxds [B, S],
     trig_idx, trig_val, trig_count}.
 
-    ``hist`` counts can differ by +/-1 between TPU (floor-rule counting
-    kernel) and CPU (sort+searchsorted) for DS values within a float32 ULP
-    of a bin edge — see parallel.scan.scan_chunks.
+    ``hist`` backend divergence (+/-1 at bin edges between TPU and CPU):
+    canonical statement in PARITY.md ("uniform-bin DS histograms on TPU").
     """
     sd = dep[sta]
     nc, sr = sd["nc"], sd["sr"]

@@ -942,6 +942,12 @@ class SubSpace(object):
         fold-batch scan amortizes per-op cost over the whole batch, so
         larger batches scan faster up to HBM limits); 1 reverts to
         the per-chunk path (always used for classifyEvents/utcSaves modes).
+        NOTE: batchSize > 1 is rounded UP to a multiple of the fused
+        kernel's tile quantum times the mesh size (SPEC_DS_ST *
+        n_devices; 8 on a single chip, 64 on an 8-device mesh) so mesh
+        runs keep the fused kernel — the engine logs the effective batch
+        when it differs, and padded chunk slots are fully masked (their
+        only cost is scanning a few extra masked rows per batch).
         ``devicePrep=True`` fuses detrend + zero-phase bandpass into the
         device scan (see detex_tpu.ops.prep), removing the host filter from
         the hot path; triggered chunks are re-verified through the exact

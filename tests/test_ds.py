@@ -106,3 +106,19 @@ def test_ds_upper_bound(rng):
     x, U, pos, n = _make_case(rng, amp=8.0)
     got = dsops.ds_numpy(x, U, 3)
     assert got.max() <= 1.0 + 1e-6
+
+
+def test_run_bank_rows_matches_run_bank(rng):
+    """run_bank_rows (the engine's triggered-chunk re-verify path: one
+    bank compute, row-sized transfers) must match full run_bank rows."""
+    x, U, pos, n = _make_case(rng)
+    nc = 3
+    U2 = rng.standard_normal((1, n))
+    U2 = U2 / np.linalg.norm(U2)
+    bank = dsops.build_bank([U, U2], nc, len(x) + 777)
+    full = dsops.run_bank(x, bank, nc)
+    rows = dsops.run_bank_rows(x, bank, nc, [1, 0])
+    assert sorted(rows) == [0, 1]
+    for si in (0, 1):
+        np.testing.assert_array_equal(rows[si], full[si])
+    assert dsops.run_bank_rows(x, bank, nc, []) == {}

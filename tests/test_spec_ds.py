@@ -123,3 +123,43 @@ def test_spec_ds_net_mode_unblocked(specds_env):
     th = np.full(8, 0.6, np.float32)
     fused, base = _scan_both(bank, X, th)
     _check(list(fused), list(base))
+
+
+def test_spec_ds_summary_only(specds_env):
+    """calc_triggers=False on the FUSED path: the VMEM-scratch accumulator
+    variant (emit_ds=False — no HBM DS array) must reproduce the fused
+    scan's hist/maxds exactly, with zero-capacity trigger outputs."""
+    rng = np.random.default_rng(9)
+    bank, U_list = _bank(rng, S=3, D=4)
+    st = pscan._bank_statics(bank, NC)
+    assert dsops.spec_ds_mode(8, st["S"], bank["Dmax"], st["n_c"], NC,
+                              BLK) == "sub"
+    X = rng.standard_normal((8, LC)).astype(np.float32)
+    # plant at a multiple of NC so the event lands channel-aligned
+    X[2, 9000:9000 + N] += 150.0 * np.asarray(U_list[1][0])
+    th = np.full(3, 0.6, np.float32)
+    full = pscan.scan_chunks(X, dict(bank), th, NC, buff_samps=250,
+                             max_trig=8)
+    summ = pscan.scan_chunks(X, dict(bank), th, NC, buff_samps=250,
+                             max_trig=8, calc_triggers=False)
+    np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(summ[0]))
+    np.testing.assert_array_equal(np.asarray(full[1]), np.asarray(summ[1]))
+    assert np.asarray(summ[2]).shape[-1] == 0
+    # the planted event is visible in maxds (what the engine gates on)
+    assert np.asarray(summ[1])[2, 1] > 0.6
+
+
+def test_spec_ds_summary_only_blocked(specds_env, monkeypatch):
+    """Summary-only on the template-BLOCKED fused path."""
+    monkeypatch.setattr(pscan, "TEMPLATE_BLOCK", 16)
+    rng = np.random.default_rng(10)
+    bank, U_list = _bank(rng, S=24, D=2)
+    X = rng.standard_normal((8, LC)).astype(np.float32)
+    th = np.full(24, 0.6, np.float32)
+    full = pscan.scan_chunks(X, dict(bank), th, NC, buff_samps=250,
+                             max_trig=8)
+    summ = pscan.scan_chunks(X, dict(bank), th, NC, buff_samps=250,
+                             max_trig=8, calc_triggers=False)
+    np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(summ[0]))
+    np.testing.assert_array_equal(np.asarray(full[1]), np.asarray(summ[1]))
+    assert np.asarray(summ[2]).shape[-1] == 0
