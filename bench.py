@@ -176,10 +176,12 @@ def bench_scan(mode="subspace"):
         thresholds = np.full(1, 0.99, np.float32)
         # chunks per device call; the fold path amortizes per-op fixed
         # cost over the whole batch, so bigger is better until HBM caps
-        # it (fused spec->DS path: 1h B=128 -> 37.3, 1h B=256 -> 40.2,
-        # 2h B=128 -> 47.7 st-d/s; 4h B=64 -> 44.9: 2h is the optimum)
+        # it (round 3, XLA prep: 2h B=128 -> 47.7 best, B=256 backed off
+        # under HBM pressure; round 4's fused Pallas prep removed the
+        # framed-array and stats intermediates and B=256 now wins:
+        # 0.327 vs 0.342 ms/chunk-hour at B=128)
         B = int(os.environ.get(
-            "BENCH_B", str(max(1, int(round(256 / SUBSPACE_CHUNK_HOURS))))))
+            "BENCH_B", str(max(1, int(round(512 / SUBSPACE_CHUNK_HOURS))))))
         iters = 2
         n_data = 4
     # distinct inputs per iteration + a dependency chain between steps:
@@ -299,7 +301,7 @@ def bench_scan_dense(trigger_rate=0.03):
     th = 0.3  # far above the noise-DS tail (max noise DS ~ 0.004 here)
     thresholds = np.full(1, th, np.float32)
     B = int(os.environ.get(
-        "BENCH_B", str(max(1, int(round(256 / SUBSPACE_CHUNK_HOURS))))))
+        "BENCH_B", str(max(1, int(round(512 / SUBSPACE_CHUNK_HOURS))))))
     iters = 2
     n_data = 4
     # host chunk arrays with planted events: amp c gives DS ~ c^2/(n+c^2)

@@ -558,6 +558,46 @@ def os_prep_batch_pair(X, n_c, nc, blk_fft):
             a, power)
 
 
+def fwd_prep_ok(n_c, nc, blk_fft):
+    """True when the fused forward-prep kernel (framing + forward CT +
+    window stats in one Pallas pass, pallas_kernels.fwd_prep_fold) can
+    serve os_prep_batch_fused for this geometry. DETEX_TPU_FUSED_PREP=0
+    reverts to the XLA prep (os_prep_batch_pair)."""
+    import os
+    if os.environ.get("DETEX_TPU_FUSED_PREP", "1") == "0":
+        return False
+    if not (_use_pallas() and _dft_mod().use_matmul_fft()):
+        return False
+    from detex_tpu.ops.pallas_kernels import fwd_prep_supported
+    return fwd_prep_supported(nc, n_c, blk_fft)
+
+
+def os_prep_batch_fused(X, n_c, nc, blk_fft):
+    """os_prep_batch_pair via ONE Pallas pass (fwd_prep_fold): the framed
+    block array, the global prefix sums and every rolling-stats
+    intermediate stay in VMEM. Returns (Fr, Fi [B*nc, m'*Rp],
+    a, power [B, m'*W]) with m' = ceil(m/stf)*stf >= m padded frames;
+    a/power come back pre-padded and power-safe'd (see fwd_prep_fold) —
+    os_scan_batch_fused detects the padded width and skips its own
+    pad/powsafe pass. Callers must tolerate m' > m: DS positions past
+    out_len are masked to -inf by the nv gate like the m*W pad already
+    was (round-4 profile: the XLA prep was 163 of the 201 ms subspace
+    scan launch, 109 ms of it the rolling stats)."""
+    from detex_tpu.ops.pallas_kernels import fwd_prep_fold, PREP_STF
+    B, Lc = X.shape
+    L_c = Lc // nc
+    out_len, pad0, D0, W, m = _os_geometry(L_c, n_c, blk_fft)
+    stf = PREP_STF
+    mt = -(-m // stf)
+    Lp = (mt * stf + 1) * W
+    mu = jnp.mean(X, axis=1, keepdims=True)
+    sd = jnp.std(X, axis=1, keepdims=True)
+    xs = (X - mu) / jnp.where(sd == 0, 1.0, sd)
+    xc = xs.reshape(B, L_c, nc).transpose(0, 2, 1)      # [B, nc, L_c]
+    xq = jnp.pad(xc, ((0, 0), (0, 0), (pad0, Lp - L_c - pad0)))
+    return fwd_prep_fold(xq, nc, n_c, blk_fft, stf, out_len)
+
+
 def bank_spec_pair(bank):
     """Padded float32 (real, imag) template spectra [Dmax, S, nc, Rp]
     (basis-dim-major — the fused kernel's grid sweeps basis dims on its
@@ -630,12 +670,19 @@ def os_scan_batch_fused(Fr, Fi, a, power, ur, ui, sum_u, d_mask, mode,
     ur, ui: bank_spec_pair output [Dmax, S, nc, Rp] (basis-dim-major)."""
     S, Dmax = sum_u.shape
     out_len, pad0, D0, W, m = _os_geometry(L_c, n_c, blk_fft)
-    powsafe = jnp.where(power == 0, jnp.inf, power)
     su = jnp.where(d_mask, sum_u, 0.0).T             # [Dmax, S]
-    pad_w = m * W - out_len
-    ap = jnp.pad(a, ((0, 0), (0, pad_w)))
-    pp = jnp.pad(powsafe, ((0, 0), (0, pad_w)), constant_values=1.0)
     Rp = _dft_mod().half_rp(blk_fft)
+    if a.shape[1] == out_len:
+        # XLA prep (os_prep_batch_pair): pad + power-safe here
+        powsafe = jnp.where(power == 0, jnp.inf, power)
+        pad_w = m * W - out_len
+        ap = jnp.pad(a, ((0, 0), (0, pad_w)))
+        pp = jnp.pad(powsafe, ((0, 0), (0, pad_w)), constant_values=1.0)
+    else:
+        # fused prep (os_prep_batch_fused): arrives pre-padded (possibly
+        # past m*W — padded frames are nv-masked downstream) + safe
+        assert a.shape[1] % W == 0 and a.shape[1] * Rp == Fr.shape[1] * W
+        ap, pp = a, power
     u2r = ur.reshape(Dmax, S, nc * Rp)
     u2i = ui.reshape(Dmax, S, nc * Rp)
     from detex_tpu.ops.pallas_kernels import spec_ds_fold

@@ -1181,3 +1181,208 @@ def rfft_ct_half(x, n, interpret=None):
       jnp.asarray(twi), jnp.asarray(np.ascontiguousarray(w1pr)),
       jnp.asarray(np.ascontiguousarray(w1pi)))
     return fr[:N], fi[:N]
+
+
+# frames per tile for the fused forward-prep kernel (framing + forward CT
+# + window stats in one VMEM pass). Bigger tiles amortize per-grid-cell
+# latency; VMEM grows ~linearly (fwd_prep_supported bounds it).
+PREP_STF = max(1, int(os.environ.get("DETEX_TPU_PREP_STF", "4")))
+
+
+def _fwd_prep_fold_kernel(*refs, nc, stf, n1, n2, W, D0, pad0, n_win,
+                          out_len, prec):
+    """Grid (B, mt): one cell turns (stf+1) W-wide slices of one chunk's
+    demuxed standardized rows into stf overlap-save blocks' half spectra
+    AND their window stats — the framed [B, nc, m, blk] array, the
+    full-length prefix sums and the window-sum arrays (each a multi-GB
+    HBM round-trip in the XLA formulation; the rolling-stats piece alone
+    measured 109 ms of the 163 ms prep at B=128 x 2 h, round-4 profile)
+    never exist.
+
+    Refs: xq x (stf+1) aliases (1, nc, W) at block offsets jt*stf+q,
+    CT mats (w2p, twr, twi, w1pr, w1pi — rfft_ct_half packing), tri
+    [128, 128] inclusive-prefix upper-triangular, triL [blk/128, blk/128]
+    likewise; outs Fr/Fi (1, nc, stf*Rp), a/power (1, 1, stf*W).
+
+    Window stats are FRAME-local: output o of frame f needs xp samples
+    [o + pad0, o + pad0 + n_win), and frame f spans exactly [f*W,
+    f*W + blk) ⊇ that — prefix sums over the framed (nc*stf, blk) rows
+    (already built for the transforms) replace the million-sample global
+    cumsum (and its f32 mean-centering crutch: frame sums are O(1e4)
+    samples, well inside f32 at the bf16x3 dot precision)."""
+    xs = refs[:stf + 1]
+    (w2p_ref, twr_ref, twi_ref, w1pr_ref, w1pi_ref, tri_ref, triL_ref,
+     or_ref, oi_ref, a_ref, p_ref) = refs[stf + 1:]
+    jt = pl.program_id(1)
+    blk = n1 * n2
+    n1h = n1 // 2 + 1
+    Rp = n1h * n2
+    SW = stf * W
+    dot = _kdot(prec)
+
+    # ref[...] then reshape — integer ref indexing lowers to an
+    # unimplemented dynamic_slice in Mosaic
+    xt = jnp.concatenate([x[...].reshape(nc, W) for x in xs],
+                         axis=-1)                         # [nc, Lt]
+
+    # ---- framed rows (c, f) — shared by the transforms and the stats;
+    # (c, f) order means Fr reshapes straight to the spec_ds layout ----
+    xf = jnp.stack([xt[:, f * W:f * W + blk] for f in range(stf)],
+                   axis=1).reshape(nc * stf, blk)
+    R = nc * stf
+    x2 = jnp.swapaxes(xf.reshape(R, n2, n1), 1, 2).reshape(R * n1, n2)
+    aa = dot(x2, w2p_ref[...])                            # [R*k1, ar|ai]
+    twr = twr_ref[...]
+    twi = twi_ref[...]
+    ar3 = aa[:, :n2].reshape(R, n1, n2)
+    ai3 = aa[:, n2:].reshape(R, n1, n2)
+    br = ar3 * twr - ai3 * twi
+    bi = ar3 * twi + ai3 * twr
+    bb = jnp.swapaxes(jnp.concatenate([br, bi], axis=1), 1, 2)
+    bb = bb.reshape(R * n2, 2 * n1)                       # [R*t2, br|bi]
+    xr = dot(bb, w1pr_ref[...])                           # [R*t2, t1h]
+    xi = dot(bb, w1pi_ref[...])
+    xr = jnp.swapaxes(xr.reshape(R, n2, n1h), 1, 2)       # [R, t1h, t2]
+    xi = jnp.swapaxes(xi.reshape(R, n2, n1h), 1, 2)
+    or_ref[...] = xr.reshape(1, nc, stf * Rp)
+    oi_ref[...] = xi.reshape(1, nc, stf * Rp)
+
+    # ---- window stats from frame-local prefix sums ----
+    # (defensive Mosaic formulations: tile totals via a minor-axis
+    # reduction — a [:, :, -1] extract lowers to an unimplemented
+    # dynamic_slice — and the channel sum via static row slices)
+    LT = blk // 128
+    both = jnp.concatenate([xf, xf * xf], axis=0)         # [2R, blk]
+    intra = dot(both.reshape(2 * R * LT, 128), tri_ref[...])
+    totals = both.reshape(2 * R, LT, 128).sum(axis=-1)    # [2R, LT]
+    off = dot(totals, triL_ref[...]) - totals             # exclusive
+    C = (intra.reshape(2 * R, LT, 128) +
+         off[:, :, None]).reshape(2 * R, blk)
+    hi = C[:, D0:D0 + W]                                  # [2R, W]
+    if pad0 == 0:
+        lo = jnp.concatenate(
+            [jnp.zeros((2 * R, 1), C.dtype), C[:, :W - 1]], axis=-1)
+    else:
+        lo = C[:, pad0 - 1:pad0 - 1 + W]
+    hs = hi - lo                                          # window sums
+    s1 = hs[0 * stf:1 * stf]                              # [stf, W]
+    s2 = hs[R + 0 * stf:R + 1 * stf]
+    for c in range(1, nc):
+        s1 = s1 + hs[c * stf:(c + 1) * stf]
+        s2 = s2 + hs[R + c * stf:R + (c + 1) * stf]
+    s1 = s1.reshape(1, SW)
+    s2 = s2.reshape(1, SW)
+    a = s1 * (1.0 / n_win)
+    var = (s2 - s1 * s1 * (1.0 / n_win)) * (1.0 / (n_win - 1.0))
+    power = jnp.maximum(var, 0.0) * n_win
+    power = jnp.where(power == 0, jnp.inf, power)         # powsafe folded
+    pos = jt * SW + jax.lax.broadcasted_iota(jnp.int32, (1, SW), 1)
+    valid = pos < out_len
+    a_ref[...] = jnp.where(valid, a, 0.0).reshape(1, 1, SW)
+    p_ref[...] = jnp.where(valid, power, 1.0).reshape(1, 1, SW)
+
+
+def fwd_prep_supported(nc, n_c, blk, stf=None):
+    """True when fwd_prep_fold can run this geometry within VMEM."""
+    stf = PREP_STF if stf is None else stf
+    b = int(blk).bit_length() - 1
+    if (1 << b) != blk or (1 << (b // 2)) != 128:
+        return False
+    pad0 = (-(n_c - 1)) % 128
+    W = blk - (n_c - 1 + pad0)
+    if W < 128 or W % 128:
+        return False
+    if n_c > W:     # stats window must be frame-local
+        return False
+    # VMEM bound (f32 elements x4B): double-buffered input blocks + the
+    # tile + framed rows + the deeper of the CT-chain and stats live sets
+    # (~6 blk-wide rows per framed row each; they don't overlap) + triL.
+    # 13 MB keeps clear of the ~16 MB VMEM and of Mosaic's runaway-compile
+    # regime (PERF.md round 3c).
+    Lt = (stf + 1) * W
+    R = nc * stf
+    est = (2 * (stf + 1) * nc * W + nc * Lt + 6 * R * blk +
+           (blk // 128) ** 2) * 4
+    return est <= 13 * 1024 * 1024
+
+
+@partial(jax.jit, static_argnames=("nc", "n_c", "blk", "stf", "out_len",
+                                   "interpret"))
+def fwd_prep_fold(xq, nc, n_c, blk, stf, out_len, interpret=None):
+    """Fused overlap-save forward prep: demuxed standardized chunks
+    xq [B, nc, Lp] (pad0 left zeros, zeros past the data) ->
+    (Fr, Fi [B*nc, m'*Rp], a, power [B, m'*W]) where m' = ceil(m/stf)*stf
+    padded frames (garbage DS positions there are >= out_len and the
+    spec_ds kernel masks everything >= nv). a/power arrive PRE-PADDED
+    (a=0, power=1 past out_len) and power-safe'd (0 -> inf), so
+    os_scan_batch_fused skips its pad/powsafe pass.
+
+    Lp must equal (m'+1) * W (callers pad; the +1 covers the last
+    frame's D0-sample overlap read)."""
+    interpret = _auto_interpret(interpret)
+    from detex_tpu.ops import dft as _dft
+    n1, n2 = _dft._split(blk)
+    assert n1 == 128, "fused prep requires n1 == 128"
+    n1h = n1 // 2 + 1
+    Rp = n1h * n2
+    pad0 = (-(n_c - 1)) % 128
+    D0 = n_c - 1 + pad0
+    W = blk - D0
+    B, nc_, Lp = xq.shape
+    assert nc_ == nc
+    SW = stf * W
+    assert (Lp - W) % SW == 0, (Lp, W, stf)
+    mt = (Lp - W) // SW
+    (w2r, w2i), (twr, twi), (w1hr, w1hi) = _dft._ct_mats_half(blk, False)
+    prec = _dft._precision_mosaic()
+    w2p = np.concatenate([w2r, w2i], axis=1)
+    w1pr = np.concatenate([w1hr.T, -w1hi.T], axis=0)
+    w1pi = np.concatenate([w1hi.T, w1hr.T], axis=0)
+    tri = np.triu(np.ones((128, 128), np.float32))
+    triL = np.triu(np.ones((blk // 128, blk // 128), np.float32))
+    kern = partial(_fwd_prep_fold_kernel, nc=nc, stf=stf, n1=n1, n2=n2,
+                   W=W, D0=D0, pad0=pad0, n_win=n_c * nc,
+                   out_len=out_len, prec=prec)
+
+    def xmap(q):
+        return lambda b, jt: (b, 0, jt * stf + q)
+
+    const = lambda b, jt: (0, 0)                          # noqa: E731
+    in_specs = ([pl.BlockSpec((1, nc, W), xmap(q), memory_space=_VMEM)
+                 for q in range(stf + 1)] +
+                [pl.BlockSpec(w2p.shape, const, memory_space=_VMEM),
+                 pl.BlockSpec(twr.shape, const, memory_space=_VMEM),
+                 pl.BlockSpec(twi.shape, const, memory_space=_VMEM),
+                 pl.BlockSpec(w1pr.shape, const, memory_space=_VMEM),
+                 pl.BlockSpec(w1pi.shape, const, memory_space=_VMEM),
+                 pl.BlockSpec(tri.shape, const, memory_space=_VMEM),
+                 pl.BlockSpec(triL.shape, const, memory_space=_VMEM)])
+    fr, fi, a, power = pl.pallas_call(
+        kern,
+        grid=(B, mt),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, nc, stf * Rp), lambda b, jt: (b, 0, jt),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, nc, stf * Rp), lambda b, jt: (b, 0, jt),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, 1, SW), lambda b, jt: (b, 0, jt),
+                         memory_space=_VMEM),
+            pl.BlockSpec((1, 1, SW), lambda b, jt: (b, 0, jt),
+                         memory_space=_VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, nc, mt * stf * Rp), jnp.float32),
+            jax.ShapeDtypeStruct((B, nc, mt * stf * Rp), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, mt * SW), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, mt * SW), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*([xq] * (stf + 1)),
+      jnp.asarray(np.ascontiguousarray(w2p)), jnp.asarray(twr),
+      jnp.asarray(twi), jnp.asarray(np.ascontiguousarray(w1pr)),
+      jnp.asarray(np.ascontiguousarray(w1pi)), jnp.asarray(tri),
+      jnp.asarray(triL))
+    return (fr.reshape(B * nc, mt * stf * Rp),
+            fi.reshape(B * nc, mt * stf * Rp),
+            a.reshape(B, mt * SW), power.reshape(B, mt * SW))

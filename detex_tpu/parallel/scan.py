@@ -44,10 +44,14 @@ _ROUTES_LOGGED = set()
 
 def route_name(route, mode):
     """Human-readable kernel route from _os_fold_route's (route, mode)."""
+    fp = "+fusedprep" if (mode or "").endswith("+fp") else ""
+    mode = (mode or "")[:3] or None
     if route == "fold":
-        return {"net": "fused-net", "sub": "fused-sub"}.get(mode, "fold")
+        return {"net": "fused-net", "sub": "fused-sub"}.get(mode,
+                                                            "fold") + fp
     if route == "blocked":
-        return "blocked-fused-net" if mode == "net" else "blocked-fold"
+        return ("blocked-fused-net" if mode == "net"
+                else "blocked-fold") + fp
     return "plain"
 
 
@@ -403,12 +407,15 @@ def _fold_chunks_fn(X, NV, arrs, thresholds, n_c, nc, blk_fft, buff_samps,
         return idx, vals, cnt
 
     if specds_mode:
-        Fr, Fi, a, power = _ds.os_prep_batch_pair(X, n_c, nc, blk_fft)
+        fp = specds_mode.endswith("+fp")
+        mode = specds_mode[:3]
+        prep = _ds.os_prep_batch_fused if fp else _ds.os_prep_batch_pair
+        Fr, Fi, a, power = prep(X, n_c, nc, blk_fft)
         dsf, pyrf, hist = _ds.os_scan_batch_fused(
             Fr, Fi, a, power, arrs[0], arrs[1], arrs[2], arrs[3],
-            specds_mode, n_c, nc, blk_fft, L_c, NV, nbin=nbin,
+            mode, n_c, nc, blk_fft, L_c, NV, nbin=nbin,
             emit_ds=calc_triggers)
-        sub = specds_mode == "sub"
+        sub = mode == "sub"
         if sub:   # rows (s, b): transpose only the summaries
             thf = jnp.broadcast_to(thresholds[:, None], (S, B)).reshape(-1)
             tr = lambda x: jnp.swapaxes(                       # noqa: E731
@@ -501,7 +508,9 @@ def _fold_chunks_blocked_fn(X, NV, arrs, thresholds, n_c, nc, blk_fft,
     L_c = X.shape[1] // nc
     nbin = uniform_nbin if calc_hist else 0
     if specds_mode:
-        Fr, Fi, a, power = _ds.os_prep_batch_pair(X, n_c, nc, blk_fft)
+        prep = (_ds.os_prep_batch_fused if specds_mode.endswith("+fp")
+                else _ds.os_prep_batch_pair)
+        Fr, Fi, a, power = prep(X, n_c, nc, blk_fft)
         SB = arrs[3].shape[1]
     else:
         F, a, power = _ds.os_prep_batch(X, n_c, nc, blk_fft)
@@ -618,17 +627,27 @@ def _os_fold_route(bank, st, B, Lc_mux, calc_hist, unb, thresholds):
     fold predicates gate on demux == "os"), so callers need no guard.
     """
     Xp = np.broadcast_to(np.float32(0), (B, Lc_mux))   # shape probe only
+
+    def fp(mode):
+        # fused-prep routing rides the static mode string ("net+fp") so
+        # the decision stays OUTSIDE jit (an env read inside the traced
+        # body would be baked into the first trace and poison the cache)
+        if mode and _ds.fwd_prep_ok(st["n_c"], st["nc"], st["nfft"]):
+            return mode + "+fp"
+        return mode
+
     if _fold_scan_ok(bank, st, Xp, calc_hist, unb):
         mode = _ds.spec_ds_mode(B, st["S"], int(bank["Dmax"]),
                                 st["n_c"], st["nc"], st["nfft"])
         arrs = _specds_arrs(bank, False) if mode else _bank_arrays(bank)
-        return "fold", mode, arrs, jnp.asarray(thresholds, jnp.float32)
+        return "fold", fp(mode), arrs, jnp.asarray(thresholds, jnp.float32)
     if _fold_scan_blocked_ok(bank, st, Xp, unb):
         mode = _ds.spec_ds_mode(B, TEMPLATE_BLOCK, int(bank["Dmax"]),
                                 st["n_c"], st["nc"], st["nfft"])
         mode = mode if mode == "net" else None  # blocked rows are (b, s)
         arrs = _specds_arrs(bank, True) if mode else _bank_arrays(bank)
-        return "blocked", mode, arrs, _blocked_thresholds(bank, thresholds)
+        return ("blocked", fp(mode), arrs,
+                _blocked_thresholds(bank, thresholds))
     return (None, None, _bank_arrays(bank),
             _blocked_thresholds(bank, thresholds))
 

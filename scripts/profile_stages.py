@@ -144,6 +144,18 @@ def p_prep(X, acc):
     return _prep_jit(X, tag_of(acc)) + acc * 1e-10
 
 
+@partial(jax.jit, static_argnames=())
+def _prepf_jit(X, tag):
+    X = jax.lax.dynamic_update_slice(X, tag, (0, 0))
+    Fr, Fi, a, power = dsops.os_prep_batch_fused(X, n_c, nc, blk)
+    return (Fr.max() * 1e-10 + Fi.max() * 1e-10 + a.max() * 1e-10 +
+            power.min() * 1e-10)
+
+
+def p_prepf(X, acc):
+    return _prepf_jit(X, tag_of(acc)) + acc * 1e-10
+
+
 # precomputed spectra for the kernel-only probes (built lazily)
 _spec_cache = {}
 
@@ -281,7 +293,8 @@ def p_fft(X, acc):
 
 
 PROBE_FNS = dict(null=p_null, full=p_full, notrig=p_notrig, prep=p_prep,
-                 std=p_std, stats=p_stats, frame=p_frame, fft=p_fft)
+                 prepf=p_prepf, std=p_std, stats=p_stats, frame=p_frame,
+                 fft=p_fft)
 
 results = {}
 for name in PROBES:
