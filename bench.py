@@ -183,7 +183,10 @@ def bench_scan(mode="subspace"):
         B = int(os.environ.get(
             "BENCH_B", str(max(1, int(round(512 / SUBSPACE_CHUNK_HOURS))))))
         iters = 2
-        n_data = 4
+        # two distinct inputs at B=256 (4 of these [256, 2.16M] chunk
+        # arrays alongside the spectra exhausted HBM); the per-step tag +
+        # dependency chain below still makes every launch unique
+        n_data = 4 if B < 256 else 2
     # distinct inputs per iteration + a dependency chain between steps:
     # this backend can elide duplicate launches, so timing must force real,
     # ordered execution of every step.
@@ -303,7 +306,7 @@ def bench_scan_dense(trigger_rate=0.03):
     B = int(os.environ.get(
         "BENCH_B", str(max(1, int(round(512 / SUBSPACE_CHUNK_HOURS))))))
     iters = 2
-    n_data = 4
+    n_data = 4 if B < 256 else 2   # HBM bound, same as the quiet headline
     # host chunk arrays with planted events: amp c gives DS ~ c^2/(n+c^2)
     c = float(np.sqrt(n * 0.6 / 0.4))             # ~0.6 DS at the plant
     k_per_batch = max(1, int(round(trigger_rate * B)))
@@ -412,11 +415,29 @@ def main(mode=None):
     if mode == "cluster":
         print(json.dumps(bench_cluster()))
         return
-    # default: all three modes, ONE final JSON line (headline + extras)
+    # default: all modes, ONE final JSON line (headline + extras). Each
+    # mode runs in its OWN subprocess: this backend does not reliably
+    # release device memory when host arrays die (an in-process sweep
+    # OOM'd every mode after the B=256 subspace headline), and a process
+    # exit is the only guaranteed deallocation. Sequential only — two
+    # live TPU processes deadlock on this tunnel (CLAUDE.md).
+    def run_mode(m):
+        import subprocess
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), m],
+            capture_output=True, text=True, timeout=3600)
+        for line in reversed(out.stdout.strip().splitlines()):
+            try:
+                return json.loads(line)
+            except ValueError:
+                continue
+        raise RuntimeError("no JSON from %s (rc=%d): %s" % (
+            m, out.returncode, out.stderr.strip()[-400:]))
+
     _log("bench: subspace scan (headline, %gh chunks)..."
          % SUBSPACE_CHUNK_HOURS)
     try:
-        head = bench_scan("subspace")
+        head = run_mode("subspace")
     except Exception as e:
         # never lose the whole round's bench evidence to one kernel
         # route: retry the headline with the fused spec->DS kernel off
@@ -424,17 +445,15 @@ def main(mode=None):
         _log("bench: subspace FAILED (%r); retrying with "
              "DETEX_TPU_SPECDS=0" % e)
         os.environ["DETEX_TPU_SPECDS"] = "0"
-        head = bench_scan("subspace")
+        head = run_mode("subspace")
         head["note"] = "fused spec->DS kernel failed (%r); unfused " \
                        "fold-path number" % (e,)
     _log("bench: subspace = %s" % head["value"])
     extras = []
-    for m, fn in (("dense", bench_scan_dense),
-                  ("network", lambda: bench_scan("network")),
-                  ("cluster", bench_cluster)):
+    for m in ("dense", "network", "cluster"):
         _log("bench: %s..." % m)
         try:
-            r = fn()
+            r = run_mode(m)
             _log("bench: %s = %s" % (m, r["value"]))
             extras.append(r)
         except Exception as e:  # never lose the headline to an extra

@@ -949,9 +949,12 @@ def spec_ds_supported(mode, B, S, D, nc, n_c, blk):
     # spectra tile; beyond ~14 MB the Mosaic compile runs away (>25 min,
     # never errors — measured at st=16, PERF.md round 3c), so refuse and
     # let the caller fall back to the unfused fold path.
+    # DETEX_TPU_SPECDS_VMEM_MB overrides the bound for on-device sweeps
+    # (pair with a timeout: past it the compile hangs, it doesn't fail).
+    vmem_mb = float(os.environ.get("DETEX_TPU_SPECDS_VMEM_MB", "14"))
     Rp = (n1 // 2 + 1) * (blk // n1)
     stream_bytes = st * nc * Rp * 4 * 2 * 2   # (re, im) double-buffered
-    if st * blk * 4 * 11 + stream_bytes > 14 * 1024 * 1024:
+    if st * blk * 4 * 11 + stream_bytes > vmem_mb * 1024 * 1024:
         return False
     if mode == "net":
         return S % st == 0
