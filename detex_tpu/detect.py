@@ -13,6 +13,8 @@ reference's exact zeroing semantics.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -531,32 +533,68 @@ class _SSDetex(object):
                 trig_bis.append(bi)
                 trig_rows.append(trig)
                 mpcons.append(MPcon)
-            if self.dtype == "double":
-                dsrows_of = [
-                    {si: _ds.ds_numpy(np.asarray(mp, np.float64),
-                                      det[bank["names"][si]]["U"], nc)
-                     for si in trig}
-                    for mp, trig in zip(mpcons, trig_rows)]
+            use_sl = bool(not self.fillZeros and self.triggerLTATime)
+            use_dev_trig = (self.dtype != "double" and len(trig_bis) > 0
+                            and os.environ.get("DETEX_TPU_DEVICE_TRIGGERS",
+                                               "1") != "0")
+            if use_dev_trig:
+                # device-windowed re-verify: DS STA/LTA + the exact
+                # trigger extraction run inside the bank's device
+                # program; only per-trigger indices/values cross the
+                # tunnel. The host chain below moves each triggered row
+                # through three full ~MB round trips (download row,
+                # upload for the STA/LTA kernel + download, upload again
+                # for extract_triggers) — on this backend's ~25 MB/s link
+                # that transfer dominated dense-detection throughput
+                # (PERF.md round 4 dense-mode analysis).
+                thr_list = [[float(threshold[bank["names"][si]])
+                             for si in trig] for trig in trig_rows]
+                srs = [batch[bi][1] for bi in trig_bis]
+                trig_out = _ds.run_bank_triggers_batch(
+                    mpcons, bank, nc, trig_rows, thr_list, srs,
+                    self.triggerLTATime or 0.0,
+                    self.triggerSTATime or 0.0, use_sl, MAX_TRIGGERS)
             else:
-                dsrows_of = _ds.run_bank_rows_batch(mpcons, bank, nc,
-                                                    trig_rows)
-            for bi, trig, MPcon, dsrows in zip(trig_bis, trig_rows,
-                                               mpcons, dsrows_of):
+                trig_out = None
+                if self.dtype == "double":
+                    dsrows_of = [
+                        {si: _ds.ds_numpy(np.asarray(mp, np.float64),
+                                          det[bank["names"][si]]["U"], nc)
+                         for si in trig}
+                        for mp, trig in zip(mpcons, trig_rows)]
+                else:
+                    dsrows_of = _ds.run_bank_rows_batch(mpcons, bank, nc,
+                                                        trig_rows)
+            for zi, (bi, trig, MPcon) in enumerate(
+                    zip(trig_bis, trig_rows, mpcons)):
                 payload, sr, tstamp = batch[bi]
                 for si in trig:
                     name = bank["names"][si]
-                    # exact-parity slow path for the triggered chunk
-                    dsvec = dsrows[si]
-                    if dsvec.max() > 1.1:
-                        dsvec = np.where(np.isfinite(dsvec), dsvec, 0.0)
-                    stalta_vec = None
-                    if not self.fillZeros and self.triggerLTATime:
-                        stalta_vec = np.asarray(self._dsStalta(
-                            dsvec, self.triggerLTATime * sr,
-                            self.triggerSTATime * sr))
-                    Sar = self._createCoeffArray(
-                        dsvec, stalta_vec, name, threshold, sta, det,
-                        MPcon, nc, sr, tstamp)
+                    if trig_out is not None:
+                        idx, ds_at, sl_at = trig_out[zi][si]
+                        if len(idx) >= MAX_TRIGGERS:
+                            detex_tpu.log(
+                                __name__, "over %d events found in "
+                                "single data block on %s for %s"
+                                % (MAX_TRIGGERS, sta, name),
+                                level="error")
+                        Sar = self._coeffRows(idx, ds_at, sl_at, name,
+                                              sta, det, MPcon, nc, sr,
+                                              tstamp)
+                    else:
+                        # exact-parity slow path for the triggered chunk
+                        dsvec = dsrows_of[zi][si]
+                        if dsvec.max() > 1.1:
+                            dsvec = np.where(np.isfinite(dsvec), dsvec,
+                                             0.0)
+                        stalta_vec = None
+                        if use_sl:
+                            stalta_vec = np.asarray(self._dsStalta(
+                                dsvec, self.triggerLTATime * sr,
+                                self.triggerSTATime * sr))
+                        Sar = self._createCoeffArray(
+                            dsvec, stalta_vec, name, threshold, sta, det,
+                            MPcon, nc, sr, tstamp)
                     if len(Sar) > 300:
                         detex_tpu.log(__name__, "over 300 events found "
                                       "in single data block on %s; "
@@ -735,17 +773,31 @@ class _SSDetex(object):
             detex_tpu.log(__name__, "over %d events found in single data "
                           "block on %s for %s" % (MAX_TRIGGERS, sta, name),
                           level="error")
+        coefs = [float(dsvec[t]) for t in idx]
+        if self.fillZeros or stalta_vec is None:
+            slvals = None
+        else:
+            slvals = [float(stalta_vec[t]) for t in idx]
+        return self._coeffRows(idx, coefs, slvals, name, sta, det, MPcon,
+                               nc, sr, tstamp)
+
+    def _coeffRows(self, idx, coefs, slvals, name, sta, det, MPcon, nc, sr,
+                   tstamp):
+        """Assemble the per-trigger detection rows (the tail of the
+        reference's _CreateCoeffArray, detect.py:390-445) from trigger
+        indices plus their DS / STA-LTA values — shared by the host
+        extraction above and the device-windowed dense re-verify, which
+        transfers only these per-trigger scalars."""
+        cols = ["DS", "DS_STALTA", "STMP", "Name", "Sta", "MSTAMPmin",
+                "MSTAMPmax", "Mag", "SNR", "ProEnMag"]
         rows = []
         info = det[name]
         minof = np.min(info["offsets"])
         maxof = np.max(info["offsets"])
-        for trigIndex in idx:
-            coef = float(dsvec[trigIndex])
+        for k, trigIndex in enumerate(idx):
+            coef = float(coefs[k])
             times = float(trigIndex) / sr + tstamp
-            if self.fillZeros or stalta_vec is None:
-                SLValue = 0.0
-            else:
-                SLValue = float(stalta_vec[trigIndex])
+            SLValue = 0.0 if slvals is None else float(slvals[k])
             if self.estimateMags:
                 peMag, stMag, SNR = self._estMag(int(trigIndex), info, MPcon,
                                                  nc, coef, times, name, sta)

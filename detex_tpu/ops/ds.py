@@ -598,8 +598,8 @@ def os_prep_batch_fused(X, n_c, nc, blk_fft):
     return fwd_prep_fold(xq, nc, n_c, blk_fft, stf, out_len)
 
 
-def bank_spec_pair(bank):
-    """Padded float32 (real, imag) template spectra [Dmax, S, nc, Rp]
+def bank_spec_pair(bank, udtype="f32"):
+    """Padded (real, imag) template spectra [Dmax, S, nc, Rp]
     (basis-dim-major — the fused kernel's grid sweeps basis dims on its
     innermost axis) for the fused spec->DS kernel, cached on the bank
     dict. Masked basis slots are identically zero (rfft of the
@@ -609,8 +609,15 @@ def bank_spec_pair(bank):
     divided by the block length) are FOLDED IN here: the FMA inside
     spec_ds_fold then yields the weighted Z directly, saving the kernel
     two [st, Rp] multiplies, an iota/where and the final 1/n scale per
-    grid cell."""
-    if "_spec_pair" not in bank:
+    grid cell.
+
+    ``udtype`` (pallas_kernels.spec_udtype): "f32" float32 (default);
+    "bf16" bfloat16 (half the streamed HBM bytes, ~3e-3 relative DS
+    error); "bf16x2" hi+lo bfloat16 split carried as extra channel slots
+    [Dmax, S, 2*nc, Rp] (~f32 accuracy, same bytes as f32 — the PERF.md
+    round-4 measured-rejection experiment)."""
+    key = "_spec_pair" if udtype == "f32" else "_spec_pair_" + udtype
+    if key not in bank:
         from detex_tpu.ops import dft as _dft
         Ufd2 = bank["Ufd2"]
         blk = bank["blk_fft"]
@@ -620,12 +627,22 @@ def bank_spec_pair(bank):
         wk = np.where((k == 0) | (k >= blk // 2), 1.0, 2.0) / blk
         wk = jnp.asarray(wk, jnp.float32)
         pad = [(0, 0)] * (Ufd2.ndim - 1) + [(0, Rp - R)]
-        bank["_spec_pair"] = (
-            (jnp.pad(jnp.real(Ufd2).astype(jnp.float32), pad)
-             * wk).transpose(1, 0, 2, 3),
-            (jnp.pad(jnp.imag(Ufd2).astype(jnp.float32), pad)
-             * wk).transpose(1, 0, 2, 3))
-    return bank["_spec_pair"]
+        ur = (jnp.pad(jnp.real(Ufd2).astype(jnp.float32), pad)
+              * wk).transpose(1, 0, 2, 3)
+        ui = (jnp.pad(jnp.imag(Ufd2).astype(jnp.float32), pad)
+              * wk).transpose(1, 0, 2, 3)
+        if udtype == "bf16":
+            ur = ur.astype(jnp.bfloat16)
+            ui = ui.astype(jnp.bfloat16)
+        elif udtype == "bf16x2":
+            def hilo(v):
+                hi = v.astype(jnp.bfloat16)
+                lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                # hi rides channels [0, nc), lo [nc, 2*nc)
+                return jnp.concatenate([hi, lo], axis=2)
+            ur, ui = hilo(ur), hilo(ui)
+        bank[key] = (ur, ui)
+    return bank[key]
 
 
 def spec_ds_mode(B, S, Dmax, n_c, nc, blk_fft):
@@ -667,7 +684,10 @@ def os_scan_batch_fused(Fr, Fi, a, power, ur, ui, sum_u, d_mask, mode,
     ``emit_ds=False`` (the engine's summary-only scan) returns
     (None, pyr, hist): the DS array never reaches HBM.
 
-    ur, ui: bank_spec_pair output [Dmax, S, nc, Rp] (basis-dim-major)."""
+    ur, ui: bank_spec_pair output [Dmax, S, nc, Rp] (basis-dim-major;
+    bfloat16 variants — [.., nc, Rp] "bf16" or hi+lo [.., 2*nc, Rp]
+    "bf16x2" — are detected from the operand dtype/shape so the jit
+    cache keys on them, not on an env read at trace time)."""
     S, Dmax = sum_u.shape
     out_len, pad0, D0, W, m = _os_geometry(L_c, n_c, blk_fft)
     su = jnp.where(d_mask, sum_u, 0.0).T             # [Dmax, S]
@@ -683,12 +703,16 @@ def os_scan_batch_fused(Fr, Fi, a, power, ur, ui, sum_u, d_mask, mode,
         # past m*W — padded frames are nv-masked downstream) + safe
         assert a.shape[1] % W == 0 and a.shape[1] * Rp == Fr.shape[1] * W
         ap, pp = a, power
-    u2r = ur.reshape(Dmax, S, nc * Rp)
-    u2i = ui.reshape(Dmax, S, nc * Rp)
+    if ur.dtype == jnp.bfloat16:
+        udtype = "bf16x2" if ur.shape[-2] == 2 * nc else "bf16"
+    else:
+        udtype = "f32"
+    u2r = ur.reshape(Dmax, S, -1)
+    u2i = ui.reshape(Dmax, S, -1)
     from detex_tpu.ops.pallas_kernels import spec_ds_fold
     return spec_ds_fold(u2r, u2i, Fr, Fi, ap, pp, su,
                         jnp.asarray(nv, jnp.int32), mode, nc, Dmax, W, D0,
-                        blk_fft, nbin=nbin, emit_ds=emit_ds)
+                        blk_fft, nbin=nbin, emit_ds=emit_ds, udtype=udtype)
 
 
 def fold_scan_supported(B, S, Dmax, n_c, blk_fft):
@@ -852,26 +876,12 @@ def run_bank_rows(x_np, bank, nc, rows):
     return {int(si): np.asarray(out[int(si), :n_valid]) for si in rows}
 
 
-def run_bank_rows_batch(x_list, bank, nc, rows_list):
-    """
-    Batched :func:`run_bank_rows`: ``x_list`` is a list of host chunks and
-    ``rows_list`` the matching list of row-index iterables. ALL chunks run
-    in ONE device program (the fold-batch scan when supported, else a
-    lax.map — same kernels as run_bank_batch), padded to the next
-    power-of-two batch so distinct trigger counts share compiles; only the
-    requested rows cross back to host.
-
-    This is the dense-detection re-verify path: a batch where k chunks
-    trigger costs one k'-padded bank launch instead of k single-chunk
-    launches, each of which pays this backend's full per-op fixed cost
-    (VERDICT round-3 weak #1 "batch the re-verifies").
-
-    Returns a list of {row_index: numpy [n_valid_i]} dicts, one per chunk.
-    """
-    if not x_list:
-        return []
-    if len(x_list) == 1:
-        return [run_bank_rows(x_list[0], bank, nc, rows_list[0])]
+def _bank_batch_out(x_list, bank, nc):
+    """Shared batched bank program: pad the host chunks to a power-of-two
+    batch (shared compile classes), run the whole bank in ONE device
+    program (fold-batch when supported, else lax.map) and return the
+    DEVICE [Bp, S, L] DS array plus the per-chunk valid lengths — the
+    caller decides what (rows, trigger windows, ...) crosses the tunnel."""
     pad_len = bank["pad_len"]
     n = bank["n"]
     B = len(x_list)
@@ -911,6 +921,114 @@ def run_bank_rows_batch(x_list, bank, nc, rows_list):
     else:
         out = _ds_map_mux(Xd, bank["Ufd"], bank["sum_u"], bank["d_mask"],
                           bank["n"], int(nc), bank["nfft"])
+    return out, lens
+
+
+def run_bank_triggers_batch(x_list, bank, nc, rows_list, thr_list, sr_list,
+                            lta_time, sta_time, use_stalta,
+                            max_triggers=4096):
+    """
+    Device-windowed dense re-verify (the engine's triggered-chunk path):
+    the bank DS rows, the optional DS STA/LTA and the exact trigger
+    extraction all run inside the batched device program; only the
+    per-trigger indices and values cross back to host (~KBs vs ~12 MB of
+    full-row round trips per triggered detector on this backend's
+    ~25 MB/s tunnel — the host chain downloads the row, re-uploads it
+    for the STA/LTA kernel, downloads that, and uploads the row again
+    for extract_triggers).
+
+    The on-device chain (ops/triggers.trigger_rows_device) replicates
+    the host order exactly — inf-zeroing when max > 1.1, centered
+    STA/LTA, while-loop argmax/suppression extraction — on the very same
+    f32 rows the host path would transfer, so results are bit-identical
+    (tests/test_device_triggers.py asserts it end to end).
+
+    Parameters mirror run_bank_rows_batch plus: ``thr_list`` — per chunk,
+    an iterable of per-row trigger thresholds aligned with that chunk's
+    ``rows_list`` entry; ``sr_list`` — per-chunk sampling rates (the
+    20 s suppression buffer and STA/LTA windows are sample counts);
+    ``lta_time``/``sta_time`` in seconds; ``use_stalta`` computes the
+    STA/LTA values (engine: not fillZeros and triggerLTATime).
+
+    Returns a list of dicts, one per chunk:
+    {row_index: (idx int64[count], ds_at float32[count],
+                 stalta_at float32[count] | None)}.
+    """
+    if not x_list:
+        return []
+    from detex_tpu.ops import triggers as _trig
+    out, lens = _bank_batch_out(x_list, bank, nc)
+    n = bank["n"]
+    res = [dict() for _ in x_list]
+    # group jobs by the static parameters so each group is ONE jitted
+    # program (rows padded to a power of two for shared compile classes)
+    groups = {}
+    for ci, (rows, thrs, sr) in enumerate(zip(rows_list, thr_list,
+                                              sr_list)):
+        L = (lens[ci] - n) // int(nc) + 1
+        if L <= 0:
+            z = np.zeros(0, np.float32)
+            for si in rows:
+                res[ci][int(si)] = (np.zeros(0, np.int64), z,
+                                    z if use_stalta else None)
+            continue
+        buff = int(20 * sr)              # reference buff=20 s
+        # replicate ds_stalta's window clamps exactly
+        sta_n = max(int(sta_time * sr), 0) if use_stalta else 1
+        sta_n = sta_n or 1
+        lta_n = max(int(lta_time * sr), 1) if use_stalta else 1
+        key = (L, sta_n, lta_n, buff)
+        for si, thr in zip(rows, thrs):
+            groups.setdefault(key, []).append((ci, int(si), float(thr)))
+    for (L, sta_n, lta_n, buff), jobs in groups.items():
+        R = len(jobs)
+        Rp = 1 << (R - 1).bit_length()
+        jp = jobs + [jobs[0]] * (Rp - R)
+        cis = jnp.asarray([j[0] for j in jp], jnp.int32)
+        sis = jnp.asarray([j[1] for j in jp], jnp.int32)
+        thr = jnp.asarray([j[2] for j in jp], jnp.float32)
+        rows_dev = out[cis, sis]                       # [Rp, Lv] gather
+        idx_d, cnt_d, dsv_d, slv_d = _trig.trigger_rows_device(
+            rows_dev, thr, L, sta_n, lta_n, buff, max_triggers,
+            use_stalta)
+        cnt = np.asarray(cnt_d)
+        # transfer only up to the max trigger count (rounded to a power
+        # of two so slice shapes share compiles), not the full K columns
+        cmax = max(int(cnt.max()), 1)
+        cp = 1 << (cmax - 1).bit_length()
+        idx = np.asarray(idx_d[:, :cp])
+        dsv = np.asarray(dsv_d[:, :cp])
+        slv = np.asarray(slv_d[:, :cp]) if use_stalta else None
+        for k, (ci, si, _t) in enumerate(jobs):
+            nf = int(cnt[k])
+            res[ci][si] = (idx[k, :nf].astype(np.int64), dsv[k, :nf],
+                           slv[k, :nf] if use_stalta else None)
+    return res
+
+
+def run_bank_rows_batch(x_list, bank, nc, rows_list):
+    """
+    Batched :func:`run_bank_rows`: ``x_list`` is a list of host chunks and
+    ``rows_list`` the matching list of row-index iterables. ALL chunks run
+    in ONE device program (the fold-batch scan when supported, else a
+    lax.map — same kernels as run_bank_batch), padded to the next
+    power-of-two batch so distinct trigger counts share compiles; only the
+    requested rows cross back to host.
+
+    This is the dense-detection re-verify path: a batch where k chunks
+    trigger costs one k'-padded bank launch instead of k single-chunk
+    launches, each of which pays this backend's full per-op fixed cost
+    (VERDICT round-3 weak #1 "batch the re-verifies").
+
+    Returns a list of {row_index: numpy [n_valid_i]} dicts, one per chunk.
+    """
+    if not x_list:
+        return []
+    if len(x_list) == 1:
+        return [run_bank_rows(x_list[0], bank, nc, rows_list[0])]
+    out, lens = _bank_batch_out(x_list, bank, nc)
+    n = bank["n"]
+    B = len(x_list)
     res = []
     for i in range(B):
         n_valid = (lens[i] - n) // int(nc) + 1

@@ -777,7 +777,7 @@ def _spec_ds_fold_kernel(ur_ref, ui_ref, fr_ref, fi_ref, a_ref, p_ref,
                          twr_ref, twi_ref, w1p_ref,
                          *refs,
                          mode, nc, D, W, nbin, n1, n2, head, Rp, prec,
-                         emit_ds=True):
+                         emit_ds=True, udtype="f32"):
     """Grid (row_tiles, m, D) with the basis dim INNERMOST: each step
     runs one basis dim's FMA + half-spectrum CT chain (bounding the VMEM
     stack at ONE chain — a D-unrolled body measured 27-44 MB against the
@@ -817,15 +817,31 @@ def _spec_ds_fold_kernel(ur_ref, ui_ref, fr_ref, fi_ref, a_ref, p_ref,
     # ---- channel FMA for THIS basis dim -> spec [st, Rp] ----
     # U rows are per-tile in "net" ([st, ...]) and shared in "sub"
     # ([1, ...]); F is the mirror image — broadcasting unifies both.
-    ur = ur_ref[...].reshape(-1, nc, Rp)             # [st | 1, nc, Rp]
-    ui = ui_ref[...].reshape(-1, nc, Rp)
+    # U-spectra storage experiments (round-4 VERDICT #6, PERF.md):
+    #   f32    — shipped default, [.., nc, Rp] float32
+    #   bf16   — [.., nc, Rp] bfloat16, HALF the streamed-operand HBM
+    #            traffic at ~3e-3 relative DS error
+    #   bf16x2 — hi+lo split, [.., 2*nc, Rp] bfloat16 (channels c<nc are
+    #            hi, nc+c the residual lo): ~f32 accuracy but the SAME
+    #            bytes as f32 — hi/lo ride extra channel slots so the
+    #            recombine is the proven static middle-index pattern,
+    #            never a value slice that lowers to dynamic_slice
+    uch = 2 * nc if udtype == "bf16x2" else nc
+    ur = ur_ref[...].reshape(-1, uch, Rp)            # [st | 1, uch, Rp]
+    ui = ui_ref[...].reshape(-1, uch, Rp)
     f3r = fr_ref[...].reshape(-1, nc, Rp)            # [1 | st, nc, Rp]
     f3i = fi_ref[...].reshape(-1, nc, Rp)
     sr = jnp.zeros((st, Rp), jnp.float32)
     si = jnp.zeros((st, Rp), jnp.float32)
     for c in range(nc):
-        ucr = ur[:, c, :]
-        uci = ui[:, c, :]
+        if udtype == "bf16x2":
+            ucr = (ur[:, c, :].astype(jnp.float32)
+                   + ur[:, nc + c, :].astype(jnp.float32))
+            uci = (ui[:, c, :].astype(jnp.float32)
+                   + ui[:, nc + c, :].astype(jnp.float32))
+        else:
+            ucr = ur[:, c, :].astype(jnp.float32)
+            uci = ui[:, c, :].astype(jnp.float32)
         fcr = f3r[:, c, :]
         fci = f3i[:, c, :]
         sr = sr + ucr * fcr - uci * fci
@@ -931,6 +947,17 @@ def _spec_ds_fold_kernel(ur_ref, ui_ref, fr_ref, fi_ref, a_ref, p_ref,
 SPEC_DS_ST = _env_tile_rows("DETEX_TPU_SPECDS_ST")
 
 
+def spec_udtype():
+    """U-spectra storage dtype for the fused kernel (round-4 VERDICT #6
+    experiment, PERF.md round 4): DETEX_TPU_SPEC_UDTYPE in
+    {f32 (default), bf16, bf16x2}. bf16 halves the streamed template-
+    spectra HBM traffic at ~3e-3 relative DS error; bf16x2 (hi+lo split)
+    keeps ~f32 accuracy but occupies the SAME bytes as f32 — it cannot
+    reduce traffic by construction, it exists to measure that claim."""
+    v = os.environ.get("DETEX_TPU_SPEC_UDTYPE", "f32")
+    return v if v in ("f32", "bf16", "bf16x2") else "f32"
+
+
 def spec_ds_supported(mode, B, S, D, nc, n_c, blk):
     """True when spec_ds_fold can run this config."""
     pad0 = (-(n_c - 1)) % 128
@@ -962,9 +989,10 @@ def spec_ds_supported(mode, B, S, D, nc, n_c, blk):
 
 
 @partial(jax.jit, static_argnames=("mode", "nc", "D", "W", "head", "blk",
-                                   "nbin", "emit_ds", "interpret"))
+                                   "nbin", "emit_ds", "udtype",
+                                   "interpret"))
 def spec_ds_fold(ur, ui, fr, fi, a, power, sum_u, nv, mode, nc, D, W, head,
-                 blk, nbin=0, emit_ds=True, interpret=None):
+                 blk, nbin=0, emit_ds=True, udtype="f32", interpret=None):
     """
     One-pass spec->DS scan. Replaces cross-spectra einsum + hermitian
     extension + irfft + ds_finalize_os_fold for overlap-save banks.
@@ -1012,15 +1040,19 @@ def spec_ds_fold(ur, ui, fr, fi, a, power, sum_u, nv, mode, nc, D, W, head,
     # ride 3-D layouts whose trailing dims exactly match the array
     # (leading dims are unconstrained), same trick as ds_finalize_os_fold.
     f_in = (fr.reshape(B, nc, m * Rp), fi.reshape(B, nc, m * Rp))
+    # U-spectra trailing width: nc*Rp (f32/bf16) or 2*nc*Rp (bf16x2
+    # hi+lo channel slots — see _spec_ds_fold_kernel)
+    ucols = (2 * nc if udtype == "bf16x2" else nc) * Rp
+    assert ur.shape[-1] * np.prod(ur.shape[:-1]) == D * S * ucols
     # U/su ride 4-D layouts with a unit axis so the block's trailing two
     # dims exactly equal the array's even for a single-template block
-    u_in = (ur.reshape(D, S, 1, nc * Rp), ui.reshape(D, S, 1, nc * Rp))
+    u_in = (ur.reshape(D, S, 1, ucols), ui.reshape(D, S, 1, ucols))
     su_in = sum_u.reshape(D, S, 1, 1)
     if mode == "net":
         assert S % st == 0
         BS = B * S
         spt = S // st                   # template tiles per chunk
-        u_shape = (1, st, 1, nc * Rp)
+        u_shape = (1, st, 1, ucols)
         u_map = lambda j, i, d: (d, j % spt, 0, 0)     # noqa: E731
         f_shape = (1, nc, Rp)
         f_map = lambda j, i, d: (j // spt, 0, i)       # noqa: E731
@@ -1034,7 +1066,7 @@ def spec_ds_fold(ur, ui, fr, fi, a, power, sum_u, nv, mode, nc, D, W, head,
         BS = S * B
         assert B % st == 0
         nt = B // st                    # chunk tiles per template
-        u_shape = (1, 1, 1, nc * Rp)
+        u_shape = (1, 1, 1, ucols)
         u_map = lambda j, i, d: (d, j // nt, 0, 0)     # noqa: E731
         f_shape = (st, nc, Rp)
         f_map = lambda j, i, d: (j % nt, 0, i)         # noqa: E731
@@ -1049,7 +1081,7 @@ def spec_ds_fold(ur, ui, fr, fi, a, power, sum_u, nv, mode, nc, D, W, head,
         assert g * g == nbin, "nbin must be a perfect square"
     kern = partial(_spec_ds_fold_kernel, mode=mode, nc=nc, D=D, W=W,
                    nbin=nbin, n1=n1, n2=n2, head=head, Rp=Rp, prec=prec,
-                   emit_ds=emit_ds)
+                   emit_ds=emit_ds, udtype=udtype)
     kio = jnp.arange(g, dtype=jnp.float32)[:, None]
     const = lambda j, i, d: (0, 0)                     # noqa: E731
     cspec = [pl.BlockSpec(w2p.shape, const, memory_space=_VMEM),

@@ -176,6 +176,51 @@ def _pyramid_suppress_scan(cp, pyr0, threshold, buff_samps, max_triggers,
     return out, count
 
 
+@partial(jax.jit, static_argnames=("L", "sta_n", "lta_n", "buff_samps",
+                                   "max_triggers", "use_stalta"))
+def trigger_rows_device(rows, thr, L, sta_n, lta_n, buff_samps,
+                        max_triggers, use_stalta):
+    """Device-windowed dense re-verify: replicate the engine's per-row
+    host chain (detect._materializeOne) entirely on device so only the
+    per-trigger indices/values cross the device->host link instead of
+    three full DS-row round trips per triggered detector.
+
+    The chain per row, in the exact host order (reference
+    detect.py:270-281 inf-zeroing + :390-445 extraction + :501-524
+    STA/LTA):
+
+      1. truncate to the chunk's ``L`` valid windows
+      2. if max(row) > 1.1, zero non-finite values (NaN max keeps the
+         row untouched, matching numpy's NaN-propagating max)
+      3. optional centered STA/LTA (stalta._stalta_kernel, the same
+         kernel the host path uploads the row back to device for)
+      4. extract_triggers (the while_loop op, vmapped — jax batches a
+         while_loop by masking finished lanes, so per-lane results are
+         bit-identical to the scalar call on the same row)
+      5. gather DS / STA-LTA values at the trigger indices
+
+    Parameters: rows [R, >=L] f32 DS rows, thr [R] per-row thresholds,
+    ``sta_n``/``lta_n`` pre-clamped integer window lengths (the caller
+    replicates ds_stalta's max(int(.),0|1) clamps). Returns
+    (idx [R, K] int32 -1-padded, count [R] int32, ds_at [R, K],
+    stalta_at [R, K] — zeros when ``use_stalta`` is False).
+    """
+    r = rows[:, :L].astype(jnp.float32)
+    mx = jnp.max(r, axis=1, keepdims=True)
+    r = jnp.where(mx > 1.1, jnp.where(jnp.isfinite(r), r, 0.0), r)
+    if use_stalta:
+        from detex_tpu.ops.stalta import _stalta_kernel
+        sl = jax.vmap(lambda x: _stalta_kernel(x, sta_n, lta_n))(r)
+    idx, cnt = jax.vmap(
+        lambda c, t: extract_triggers(c, t, buff_samps, max_triggers)
+    )(r, thr)
+    safe = jnp.maximum(idx, 0)
+    dsv = jnp.take_along_axis(r, safe, axis=1)
+    slv = (jnp.take_along_axis(sl, safe, axis=1) if use_stalta
+           else jnp.zeros_like(dsv))
+    return idx, cnt, dsv, slv
+
+
 @partial(jax.jit, static_argnames=("buff_samps", "max_triggers", "block"))
 def extract_triggers_pyramid(ceval, threshold, buff_samps, max_triggers=64,
                              block=512):

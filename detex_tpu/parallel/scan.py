@@ -172,11 +172,15 @@ def _specds_arrs(bank, blocked):
     [Dmax, S, nc, Rp]); ``blocked`` pads/reshapes the template axis to
     [nB, ..., TEMPLATE_BLOCK, ...] (cached on the bank) — the template
     axis is axis 1 for ur/ui, axis 0 for sum_u/d_mask."""
-    ur, ui = _ds.bank_spec_pair(bank)
+    from detex_tpu.ops.pallas_kernels import spec_udtype
+    udt = spec_udtype()
+    ur, ui = _ds.bank_spec_pair(bank, udt)
     raw = (ur, ui, bank["sum_u"], bank["d_mask"])
     if not blocked:
         return raw
-    if "_specds_blocked" not in bank:
+    bkey = ("_specds_blocked" if udt == "f32"
+            else "_specds_blocked_" + udt)
+    if bkey not in bank:
         SB = TEMPLATE_BLOCK
         S = raw[2].shape[0]
         Sp = -(-S // SB) * SB
@@ -190,9 +194,9 @@ def _specds_arrs(bank, blocked):
             # restore the block-local layout: [nB, ...axis-at-original...]
             return jnp.moveaxis(a, 1, axis + 1)
 
-        bank["_specds_blocked"] = (blk(ur, 1), blk(ui, 1),
-                                   blk(raw[2], 0), blk(raw[3], 0))
-    return bank["_specds_blocked"]
+        bank[bkey] = (blk(ur, 1), blk(ui, 1),
+                      blk(raw[2], 0), blk(raw[3], 0))
+    return bank[bkey]
 
 
 def _blocked_thresholds(bank, thresholds):
