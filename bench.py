@@ -342,21 +342,42 @@ def bench_scan_dense(trigger_rate=0.03):
         return pscan.scan_chunks(X, bank, thresholds, nc, buff, max_trig=1,
                                  calc_triggers=False)
 
+    use_dev_trig = os.environ.get("DETEX_TPU_DEVICE_TRIGGERS", "1") != "0"
+
     def materialize(out, ih):
-        """detect._materializeOne's f32 path on one dispatched batch."""
+        """detect._materializeOne's f32 path on one dispatched batch:
+        device-windowed re-verify by default (STA/LTA + extraction in the
+        bank program, per-trigger values only over the link), the full-row
+        host chain with DETEX_TPU_DEVICE_TRIGGERS=0 — same gate as the
+        engine."""
         hist, maxds, tidx, tval, tcnt = out
         m = np.asarray(maxds)             # completion barrier for the step
         trig_b = [bi for bi in range(B) if m[bi, 0] > th - 2e-5]
         mps = [Xh[ih][bi] for bi in trig_b]
-        dsrows = dsops.run_bank_rows_batch(mps, bank, nc,
-                                           [[0]] * len(mps))
         nrows = 0
-        for mp, dsr in zip(mps, dsrows):
-            dsvec = dsr[0]
-            stalta = np.asarray(eng._dsStalta(dsvec, 5 * sr, 0))
-            Sar = eng._createCoeffArray(dsvec, stalta, "SS0", {"SS0": th},
-                                        "TA.SYN", det, mp, nc, sr, 0.0)
-            nrows += len(Sar)
+        if use_dev_trig:
+            # gather the triggered chunks from the device-resident batch
+            # (the engine reuses the scan's uploaded batch the same way)
+            sel = jnp.take(Xs[ih], jnp.asarray(trig_b, jnp.int32), axis=0)
+            tout = dsops.run_bank_triggers_batch(
+                mps, bank, nc, [[0]] * len(mps), [[th]] * len(mps),
+                [sr] * len(mps), 5.0, 0.0, True,
+                x_dev=sel, lens_dev=[Lc] * len(mps))
+            for mp, td in zip(mps, tout):
+                idx, ds_at, sl_at = td[0]
+                Sar = eng._coeffRows(idx, ds_at, sl_at, "SS0", "TA.SYN",
+                                     det, mp, nc, sr, 0.0)
+                nrows += len(Sar)
+        else:
+            dsrows = dsops.run_bank_rows_batch(mps, bank, nc,
+                                               [[0]] * len(mps))
+            for mp, dsr in zip(mps, dsrows):
+                dsvec = dsr[0]
+                stalta = np.asarray(eng._dsStalta(dsvec, 5 * sr, 0))
+                Sar = eng._createCoeffArray(dsvec, stalta, "SS0",
+                                            {"SS0": th}, "TA.SYN", det, mp,
+                                            nc, sr, 0.0)
+                nrows += len(Sar)
         return len(trig_b), nrows
 
     # warmup/compile every path the timed loop hits (scan at B, re-verify

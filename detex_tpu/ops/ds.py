@@ -883,7 +883,6 @@ def _bank_batch_out(x_list, bank, nc):
     DEVICE [Bp, S, L] DS array plus the per-chunk valid lengths — the
     caller decides what (rows, trigger windows, ...) crosses the tunnel."""
     pad_len = bank["pad_len"]
-    n = bank["n"]
     B = len(x_list)
     Bp = 1 << (B - 1).bit_length()        # power-of-two compile classes
     X = np.zeros((Bp, pad_len), np.float32)
@@ -893,12 +892,24 @@ def _bank_batch_out(x_list, bank, nc):
         X[i, :L] = np.asarray(x[:L], np.float32)
         lens.append(L)
     lens.extend([0] * (Bp - B))
-    Xd = jnp.asarray(X)
+    return _bank_batch_program(jnp.asarray(X), lens, bank, nc)
+
+
+def _bank_batch_program(Xd, lens, bank, nc):
+    """Program part of :func:`_bank_batch_out` on an already-device-
+    resident, already-padded [Bp, pad_len] chunk batch (``lens`` zero-
+    padded to Bp; zero-length slots are fully masked by nv). The
+    engine's device-windowed re-verify feeds this directly so triggered
+    chunks — uploaded once for the scan — are never re-uploaded."""
+    n = bank["n"]
+    pad_len = bank["pad_len"]
+    assert Xd.shape == (len(lens), pad_len)
     if bank.get("os"):
         Dmax = int(bank["Dmax"])
         S = int(bank["sum_u"].shape[0])
         L_c = pad_len // int(nc)
         _, _, _, W_, m_ = _os_geometry(L_c, bank["n_c"], bank["blk_fft"])
+        Bp = Xd.shape[0]
         fold_ok = (fold_scan_supported(Bp, S, Dmax, bank["n_c"],
                                        bank["blk_fft"])
                    and Bp * S * Dmax * m_ * bank["blk_fft"] * 4
@@ -926,7 +937,7 @@ def _bank_batch_out(x_list, bank, nc):
 
 def run_bank_triggers_batch(x_list, bank, nc, rows_list, thr_list, sr_list,
                             lta_time, sta_time, use_stalta,
-                            max_triggers=4096):
+                            max_triggers=4096, x_dev=None, lens_dev=None):
     """
     Device-windowed dense re-verify (the engine's triggered-chunk path):
     the bank DS rows, the optional DS STA/LTA and the exact trigger
@@ -953,13 +964,33 @@ def run_bank_triggers_batch(x_list, bank, nc, rows_list, thr_list, sr_list,
     Returns a list of dicts, one per chunk:
     {row_index: (idx int64[count], ds_at float32[count],
                  stalta_at float32[count] | None)}.
+
+    ``x_dev``/``lens_dev``: optional DEVICE-resident alternative to
+    ``x_list`` — a [Nsel, pad_len] float32 array of the triggered chunks
+    (already padded to the bank's pad_len, e.g. gathered from the batch
+    the scan uploaded) plus their valid lengths. Avoids re-uploading
+    megabytes of chunk data the device already holds; ``x_list`` is then
+    only consulted for its length (it may be the host payloads kept for
+    the magnitude windows).
     """
-    if not x_list:
+    if not x_list and x_dev is None:
         return []
     from detex_tpu.ops import triggers as _trig
-    out, lens = _bank_batch_out(x_list, bank, nc)
+    if x_dev is not None:
+        Nsel = x_dev.shape[0]
+        Bp = 1 << max(Nsel - 1, 0).bit_length()
+        # pad to a power of two via a row gather (index 0 repeated) with
+        # the pad slots' lens zeroed -> fully nv-masked downstream
+        sel = list(range(Nsel)) + [0] * (Bp - Nsel)
+        Xd = jnp.take(x_dev, jnp.asarray(sel, jnp.int32), axis=0)
+        lens = list(lens_dev) + [0] * (Bp - Nsel)
+        out, lens = _bank_batch_program(Xd, lens, bank, nc)
+        n_chunks = Nsel
+    else:
+        out, lens = _bank_batch_out(x_list, bank, nc)
+        n_chunks = len(x_list)
     n = bank["n"]
-    res = [dict() for _ in x_list]
+    res = [dict() for _ in range(n_chunks)]
     # group jobs by the static parameters so each group is ONE jitted
     # program (rows padded to a power of two for shared compile classes)
     groups = {}

@@ -980,7 +980,10 @@ def spec_ds_supported(mode, B, S, D, nc, n_c, blk):
     # (pair with a timeout: past it the compile hangs, it doesn't fail).
     vmem_mb = float(os.environ.get("DETEX_TPU_SPECDS_VMEM_MB", "14"))
     Rp = (n1 // 2 + 1) * (blk // n1)
-    stream_bytes = st * nc * Rp * 4 * 2 * 2   # (re, im) double-buffered
+    # (re, im) double-buffered; bytes/element by U-spectra storage dtype
+    # (bf16x2 carries hi+lo in twice the channels -> same bytes as f32)
+    ub = {"f32": 4, "bf16": 2, "bf16x2": 4}[spec_udtype()]
+    stream_bytes = st * nc * Rp * ub * 2 * 2
     if st * blk * 4 * 11 + stream_bytes > vmem_mb * 1024 * 1024:
         return False
     if mode == "net":

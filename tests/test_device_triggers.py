@@ -102,19 +102,34 @@ def test_run_bank_triggers_batch_matches_rows_batch(rng):
             np.testing.assert_allclose(sl_at, sl_h, rtol=1e-6)
             found += len(idx)
     assert found > 0                      # the planted events triggered
+    # device-resident input path (x_dev): identical to the host-list path
+    pad = bank["pad_len"]
+    Xd = np.zeros((2, pad), np.float32)
+    for i, x in enumerate(chunks):
+        Xd[i, :len(x)] = x
+    got_dev = _ds.run_bank_triggers_batch(
+        chunks, bank, nc, rows_list, thr_list, srs, lta_t, sta_t, True,
+        max_triggers=128, x_dev=jnp.asarray(Xd),
+        lens_dev=[len(x) for x in chunks])
+    for ci in range(2):
+        for si in rows_list[ci]:
+            for a, b in zip(got[ci][si], got_dev[ci][si]):
+                np.testing.assert_array_equal(a, b)
 
 
 @pytest.fixture(scope="module")
 def ss_small(synth_case, tmp_path_factory):
     wd = tmp_path_factory.mktemp("devtrig")
     os.chdir(wd)
+    # dtype='single': the default 'double' takes the exact float64 HOST
+    # re-verify (ds_numpy) and never reaches the device-windowed path
     clust = construct.createCluster(
         CCreq=0.5, fetch_arg=synth_case["eventDir"], filt=[1, 8, 2, True],
         stationKey=synth_case["stationKey"],
         templateKey=synth_case["templateKey"], trim=[10, 60],
-        saveclust=False)
+        dtype="single", saveclust=False)
     cfetch = getdata.DataFetcher("dir", directoryName=synth_case["conDir"])
-    ss = construct.createSubSpace(Pf=1e-9, clust=clust,
+    ss = construct.createSubSpace(Pf=1e-9, clust=clust, dtype="single",
                                   conDatFetcher=cfetch)
     ss.attachPickTimes(pksFile=synth_case["phaseKey"], defaultDuration=20)
     ss.SVD(selectCriteria=2, selectValue=0.9, threshold=0.35,
@@ -132,33 +147,47 @@ def _rows(db, table):
 def test_engine_device_triggers_identical(ss_small, tmp_path, monkeypatch):
     """End to end: the engine with the device-windowed re-verify emits a
     SubSpace.db row-identical to the full-row host chain."""
+    from detex_tpu.parallel import scan as _pscan
     ss, wd = ss_small
     db_dev = str(tmp_path / "dev.db")
     db_host = str(tmp_path / "host.db")
     monkeypatch.delenv("DETEX_TPU_DEVICE_TRIGGERS", raising=False)
+    base_dev = _pscan.ROUTE_COUNTS["dense-reverify-device"]
     ss.detex(subspaceDB=db_dev, useSingles=True, estimateMags=True,
              batchSize=8)
+    # the device path genuinely ran (dtype='single'; 'double' would take
+    # the exact f64 host chain and make this test vacuous)
+    assert _pscan.ROUTE_COUNTS["dense-reverify-device"] > base_dev
     monkeypatch.setenv("DETEX_TPU_DEVICE_TRIGGERS", "0")
     ss.detex(subspaceDB=db_host, useSingles=True, estimateMags=True,
              batchSize=8)
+    # single-device (mesh off) exercises the device-batch REUSE path:
+    # the re-verify gathers triggered chunks from the scan's uploaded
+    # batch instead of re-uploading them
+    db_nomesh = str(tmp_path / "nomesh.db")
+    monkeypatch.setenv("DETEX_TPU_MESH", "0")
+    monkeypatch.delenv("DETEX_TPU_DEVICE_TRIGGERS", raising=False)
+    ss.detex(subspaceDB=db_nomesh, useSingles=True, estimateMags=True,
+             batchSize=8)
     n_checked = 0
     for table in ("ss_df", "sg_df"):
-        got = _rows(db_dev, table)
         want = _rows(db_host, table)
-        assert len(got) == len(want)
-        if len(got) == 0:
-            continue
-        assert list(got.Name) == list(want.Name)
-        assert list(got.Sta) == list(want.Sta)
-        np.testing.assert_array_equal(np.asarray(got.STMP),
-                                      np.asarray(want.STMP))
-        np.testing.assert_array_equal(np.asarray(got.DS),
-                                      np.asarray(want.DS))
-        np.testing.assert_allclose(np.asarray(got.DS_STALTA, float),
-                                   np.asarray(want.DS_STALTA, float),
-                                   rtol=1e-6)
-        np.testing.assert_allclose(np.asarray(got.Mag, float),
-                                   np.asarray(want.Mag, float),
-                                   rtol=1e-6, equal_nan=True)
-        n_checked += len(got)
+        for db in (db_dev, db_nomesh):
+            got = _rows(db, table)
+            assert len(got) == len(want)
+            if len(got) == 0:
+                continue
+            assert list(got.Name) == list(want.Name)
+            assert list(got.Sta) == list(want.Sta)
+            np.testing.assert_array_equal(np.asarray(got.STMP),
+                                          np.asarray(want.STMP))
+            np.testing.assert_array_equal(np.asarray(got.DS),
+                                          np.asarray(want.DS))
+            np.testing.assert_allclose(np.asarray(got.DS_STALTA, float),
+                                       np.asarray(want.DS_STALTA, float),
+                                       rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(got.Mag, float),
+                                       np.asarray(want.Mag, float),
+                                       rtol=1e-6, equal_nan=True)
+            n_checked += len(got)
     assert n_checked > 0                 # the planted events were found
