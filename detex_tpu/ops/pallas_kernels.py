@@ -777,7 +777,7 @@ def _spec_ds_fold_kernel(ur_ref, ui_ref, fr_ref, fi_ref, a_ref, p_ref,
                          twr_ref, twi_ref, w1p_ref,
                          *refs,
                          mode, nc, D, W, nbin, n1, n2, head, Rp, prec,
-                         emit_ds=True, udtype="f32"):
+                         emit_ds=True, udtype="f32", ablate=frozenset()):
     """Grid (row_tiles, m, D) with the basis dim INNERMOST: each step
     runs one basis dim's FMA + half-spectrum CT chain (bounding the VMEM
     stack at ONE chain — a D-unrolled body measured 27-44 MB against the
@@ -800,7 +800,15 @@ def _spec_ds_fold_kernel(ur_ref, ui_ref, fr_ref, fi_ref, a_ref, p_ref,
     maxima and re-verifies host-side, never reading the device DS): the
     cross-d accumulator is a VMEM SCRATCH block instead of the DS output,
     so the [BS, m*W] DS array — the launch's dominant HBM write at large
-    banks — never exists; only pyr + hist leave the kernel."""
+    banks — never exists; only pyr + hist leave the kernel.
+
+    ``ablate`` (measurement ONLY — scripts/probe_kernel_anatomy.py):
+    structural cost-bisection flags. Each replaces one op with a
+    shape-identical cheap fabrication (WRONG values, producers kept
+    live): noswap1 (rri transpose), nodot1 (stage-1 dot), noswapbb
+    (bb transpose; requires n1 == n2), tail2 (stage-2 dot + x swap +
+    Nyquist term), fma1 (single-channel FMA), nohist (histogram
+    accumulate). Never set on any production path."""
     if emit_ds:
         ds_ref, pyr_ref, hist_ref = refs
         acc_ref = ds_ref
@@ -833,7 +841,7 @@ def _spec_ds_fold_kernel(ur_ref, ui_ref, fr_ref, fi_ref, a_ref, p_ref,
     f3i = fi_ref[...].reshape(-1, nc, Rp)
     sr = jnp.zeros((st, Rp), jnp.float32)
     si = jnp.zeros((st, Rp), jnp.float32)
-    for c in range(nc):
+    for c in range(1 if "fma1" in ablate else nc):
         if udtype == "bf16x2":
             ucr = (ur[:, c, :].astype(jnp.float32)
                    + ur[:, nc + c, :].astype(jnp.float32))
@@ -855,22 +863,35 @@ def _spec_ds_fold_kernel(ur_ref, ui_ref, fr_ref, fi_ref, a_ref, p_ref,
     # concat + ONE transpose feeds the packed stage-1 dot directly
     zz = jnp.concatenate([zrd[:, :n // 2].reshape(st, n2h, n1),
                           zid[:, :n // 2].reshape(st, n2h, n1)], axis=1)
-    rri = jnp.swapaxes(zz, 1, 2).reshape(st * n1, 2 * n2h)
-    ap2 = dot(rri, w2p_ref[...])                     # [st*k1, ar|ai]
+    if "noswap1" in ablate:
+        rri = zz.reshape(st * n1, 2 * n2h)
+    else:
+        rri = jnp.swapaxes(zz, 1, 2).reshape(st * n1, 2 * n2h)
+    if "nodot1" in ablate:
+        ap2 = jnp.concatenate([rri, rri], axis=1)    # [st*n1, 2*n2]
+    else:
+        ap2 = dot(rri, w2p_ref[...])                 # [st*k1, ar|ai]
     ar3 = ap2[:, :n2].reshape(st, n1, n2)
     ai3 = ap2[:, n2:].reshape(st, n1, n2)
     twr = twr_ref[...]
     twi = twi_ref[...]
     br = ar3 * twr - ai3 * twi
     bi = ar3 * twi + ai3 * twr
-    bb = jnp.swapaxes(jnp.concatenate([br, bi], axis=1), 1, 2)
-    xr = dot(bb.reshape(st * n2, 2 * n1), w1p_ref[...])   # [st*t2, t1_kept]
+    if "noswapbb" in ablate:
+        assert n1 == n2, "noswapbb ablation requires n1 == n2"
+        bb = jnp.concatenate([br, bi], axis=2)
+    else:
+        bb = jnp.swapaxes(jnp.concatenate([br, bi], axis=1), 1, 2)
     n1k = n1 - t1_0
-    x3 = xr.reshape(st, n2, n1k)
-    t2i = jax.lax.broadcasted_iota(jnp.int32, (1, n2, 1), 1)
-    alt = jnp.where(t2i % 2 == 0, 1.0, -1.0)
-    x3 = x3 + zhr.reshape(st, 1, 1) * alt
-    x = jnp.swapaxes(x3, 1, 2).reshape(st, n1k * n2)
+    if "tail2" in ablate:
+        x = bb.reshape(st, n2 * 2 * n1)[:, :n1k * n2]
+    else:
+        xr = dot(bb.reshape(st * n2, 2 * n1), w1p_ref[...])  # [st*t2, t1k]
+        x3 = xr.reshape(st, n2, n1k)
+        t2i = jax.lax.broadcasted_iota(jnp.int32, (1, n2, 1), 1)
+        alt = jnp.where(t2i % 2 == 0, 1.0, -1.0)
+        x3 = x3 + zhr.reshape(st, 1, 1) * alt
+        x = jnp.swapaxes(x3, 1, 2).reshape(st, n1k * n2)
     # ---- accumulate y^2 into the resident DS block ----
     a = a_ref[...].reshape(-1, W)
     su = su_ref[...].reshape(-1, 1)                  # [st | 1, 1]
@@ -904,6 +925,8 @@ def _spec_ds_fold_kernel(ur_ref, ui_ref, fr_ref, fi_ref, a_ref, p_ref,
             def _init():
                 hist_ref[...] = jnp.zeros_like(hist_ref)
 
+            if "nohist" in ablate:
+                return
             g = int(round(nbin ** 0.5))
             idx = jnp.floor(ds * nbin)
             idx = jnp.where(ds == 1.0, nbin - 1.0, idx)
@@ -993,9 +1016,10 @@ def spec_ds_supported(mode, B, S, D, nc, n_c, blk):
 
 @partial(jax.jit, static_argnames=("mode", "nc", "D", "W", "head", "blk",
                                    "nbin", "emit_ds", "udtype",
-                                   "interpret"))
+                                   "interpret", "ablate"))
 def spec_ds_fold(ur, ui, fr, fi, a, power, sum_u, nv, mode, nc, D, W, head,
-                 blk, nbin=0, emit_ds=True, udtype="f32", interpret=None):
+                 blk, nbin=0, emit_ds=True, udtype="f32", interpret=None,
+                 ablate=""):
     """
     One-pass spec->DS scan. Replaces cross-spectra einsum + hermitian
     extension + irfft + ds_finalize_os_fold for overlap-save banks.
@@ -1084,7 +1108,8 @@ def spec_ds_fold(ur, ui, fr, fi, a, power, sum_u, nv, mode, nc, D, W, head,
         assert g * g == nbin, "nbin must be a perfect square"
     kern = partial(_spec_ds_fold_kernel, mode=mode, nc=nc, D=D, W=W,
                    nbin=nbin, n1=n1, n2=n2, head=head, Rp=Rp, prec=prec,
-                   emit_ds=emit_ds, udtype=udtype)
+                   emit_ds=emit_ds, udtype=udtype,
+                   ablate=frozenset(v for v in ablate.split(",") if v))
     kio = jnp.arange(g, dtype=jnp.float32)[:, None]
     const = lambda j, i, d: (0, 0)                     # noqa: E731
     cspec = [pl.BlockSpec(w2p.shape, const, memory_space=_VMEM),
@@ -1228,7 +1253,7 @@ PREP_STF = max(1, int(os.environ.get("DETEX_TPU_PREP_STF", "4")))
 
 
 def _fwd_prep_fold_kernel(*refs, nc, stf, n1, n2, W, D0, pad0, n_win,
-                          out_len, prec):
+                          out_len, prec, ablate=frozenset()):
     """Grid (B, mt): one cell turns (stf+1) W-wide slices of one chunk's
     demuxed standardized rows into stf overlap-save blocks' half spectra
     AND their window stats — the framed [B, nc, m, blk] array, the
@@ -1268,22 +1293,44 @@ def _fwd_prep_fold_kernel(*refs, nc, stf, n1, n2, W, D0, pad0, n_win,
     xf = jnp.stack([xt[:, f * W:f * W + blk] for f in range(stf)],
                    axis=1).reshape(nc * stf, blk)
     R = nc * stf
-    x2 = jnp.swapaxes(xf.reshape(R, n2, n1), 1, 2).reshape(R * n1, n2)
-    aa = dot(x2, w2p_ref[...])                            # [R*k1, ar|ai]
+    blk_ = n1 * n2
+    if "pnoswapin" in ablate:                     # ablation: see docstring
+        x2 = xf.reshape(R * n1, n2)
+    else:
+        x2 = jnp.swapaxes(xf.reshape(R, n2, n1), 1, 2).reshape(R * n1, n2)
+    if "pnodot1" in ablate:
+        aa = jnp.concatenate([x2, x2], axis=1)            # [R*n1, 2*n2]
+    else:
+        aa = dot(x2, w2p_ref[...])                        # [R*k1, ar|ai]
     twr = twr_ref[...]
     twi = twi_ref[...]
     ar3 = aa[:, :n2].reshape(R, n1, n2)
     ai3 = aa[:, n2:].reshape(R, n1, n2)
     br = ar3 * twr - ai3 * twi
     bi = ar3 * twi + ai3 * twr
-    bb = jnp.swapaxes(jnp.concatenate([br, bi], axis=1), 1, 2)
+    if "pnoswapbb" in ablate:
+        assert n1 == n2, "pnoswapbb ablation requires n1 == n2"
+        bb = jnp.concatenate([br, bi], axis=2)
+    else:
+        bb = jnp.swapaxes(jnp.concatenate([br, bi], axis=1), 1, 2)
     bb = bb.reshape(R * n2, 2 * n1)                       # [R*t2, br|bi]
-    xr = dot(bb, w1pr_ref[...])                           # [R*t2, t1h]
-    xi = dot(bb, w1pi_ref[...])
-    xr = jnp.swapaxes(xr.reshape(R, n2, n1h), 1, 2)       # [R, t1h, t2]
-    xi = jnp.swapaxes(xi.reshape(R, n2, n1h), 1, 2)
-    or_ref[...] = xr.reshape(1, nc, stf * Rp)
-    oi_ref[...] = xi.reshape(1, nc, stf * Rp)
+    if "ptail2" in ablate:
+        bf = bb.reshape(1, nc, stf * n2 * 2 * n1)
+        or_ref[...] = bf[:, :, :stf * Rp]
+        oi_ref[...] = bf[:, :, :stf * Rp]
+    else:
+        xr = dot(bb, w1pr_ref[...])                       # [R*t2, t1h]
+        xi = dot(bb, w1pi_ref[...])
+        xr = jnp.swapaxes(xr.reshape(R, n2, n1h), 1, 2)   # [R, t1h, t2]
+        xi = jnp.swapaxes(xi.reshape(R, n2, n1h), 1, 2)
+        or_ref[...] = xr.reshape(1, nc, stf * Rp)
+        oi_ref[...] = xi.reshape(1, nc, stf * Rp)
+
+    if "pnostats" in ablate:
+        xfl = xf.reshape(1, 1, R * blk_)
+        a_ref[...] = xfl[:, :, :SW]
+        p_ref[...] = xfl[:, :, :SW]
+        return
 
     # ---- window stats from frame-local prefix sums ----
     # (defensive Mosaic formulations: tile totals via a minor-axis
@@ -1345,8 +1392,9 @@ def fwd_prep_supported(nc, n_c, blk, stf=None):
 
 
 @partial(jax.jit, static_argnames=("nc", "n_c", "blk", "stf", "out_len",
-                                   "interpret"))
-def fwd_prep_fold(xq, nc, n_c, blk, stf, out_len, interpret=None):
+                                   "interpret", "ablate"))
+def fwd_prep_fold(xq, nc, n_c, blk, stf, out_len, interpret=None,
+                  ablate=""):
     """Fused overlap-save forward prep: demuxed standardized chunks
     xq [B, nc, Lp] (pad0 left zeros, zeros past the data) ->
     (Fr, Fi [B*nc, m'*Rp], a, power [B, m'*W]) where m' = ceil(m/stf)*stf
@@ -1380,7 +1428,8 @@ def fwd_prep_fold(xq, nc, n_c, blk, stf, out_len, interpret=None):
     triL = np.triu(np.ones((blk // 128, blk // 128), np.float32))
     kern = partial(_fwd_prep_fold_kernel, nc=nc, stf=stf, n1=n1, n2=n2,
                    W=W, D0=D0, pad0=pad0, n_win=n_c * nc,
-                   out_len=out_len, prec=prec)
+                   out_len=out_len, prec=prec,
+                   ablate=frozenset(v for v in ablate.split(",") if v))
 
     def xmap(q):
         return lambda b, jt: (b, 0, jt * stf + q)
