@@ -933,6 +933,15 @@ def _spec_ds_fold_kernel(ur_ref, ui_ref, fr_ref, fi_ref, a_ref, p_ref,
             coarse = jnp.floor(idx * (1.0 / g))
             fine = idx - coarse * g
             kio = kio_ref[...]
+            if "histbf16" in ablate:
+                # EXACT-count experiment: coarse/fine/kio are small
+                # integers (< g <= 20), exact in bf16, and equality
+                # compares of exact values are exact — same counts, but
+                # the [g, W] one-hot builds (the finalize's dominant VPU
+                # work) may vectorize 2x in bf16
+                coarse = coarse.astype(jnp.bfloat16)
+                fine = fine.astype(jnp.bfloat16)
+                kio = kio.astype(jnp.bfloat16)
             # bf16 one-hot operands: 0/1 are exact in bf16 and the f32
             # accumulator keeps the counts exact, but the dot runs as ONE
             # MXU pass instead of the multi-pass f32 emulation
