@@ -135,6 +135,14 @@ def closeLogger():
 # Submodule imports & API re-exports (after logging is defined: submodules
 # call detex_tpu.log at import-error time)
 # ---------------------------------------------------------------------------
+# persistent XLA compile cache: jax 0.9 ignores the env vars, so the
+# config must be set programmatically (see detex_tpu/compile_cache.py) —
+# on this class of backend a fresh program shape costs minutes of remote
+# compile, and caching it across processes is a first-order performance
+# feature, not a convenience.
+from detex_tpu import compile_cache  # noqa: E402
+compile_cache.enable()
+
 from detex_tpu import core          # noqa: E402
 from detex_tpu import ops           # noqa: E402
 from detex_tpu import data          # noqa: E402

@@ -31,6 +31,20 @@ from detex_tpu.ops import triggers as _triggers
 MAX_TRIGGERS = 4096  # reference kill switch at 4000 (detect.py:433-436)
 
 
+def _keep_dev_batch_bytes():
+    """HBM budget for the scan input batches the engine keeps alive so the
+    dense re-verify can gather triggered chunks without re-uploading them
+    (PERF.md round 4b). The engine retains up to ``_inflight_depth + 1``
+    batches at once (in-flight + the one being materialized), each
+    batchSize x pad_len float32 — unbounded growth at large batch/chunk
+    configs could OOM mid-station (VERDICT round-4 weak #7/#8), so batches
+    larger than this budget are NOT retained and the re-verify falls back
+    to re-uploading its (few) triggered chunks. Default 2 GiB; override
+    with DETEX_TPU_REVERIFY_KEEP_MB."""
+    return int(float(os.environ.get("DETEX_TPU_REVERIFY_KEEP_MB",
+                                    "2048")) * (1 << 20))
+
+
 class _SSDetex(object):
     """Run subspace/singleton detections or event classification
     (reference detect.py:22-218)."""
@@ -211,8 +225,18 @@ class _SSDetex(object):
         # prep runs inside the shard body (scan_chunks_raw_sharded).
         prefer_os = _ds._use_pallas()
         for n, names in sorted(by_n.items()):
+            # pad detector rows / basis slots to the shared shape ladders
+            # (ds.pad_rows / ds.pad_dims): one compiled scan program per
+            # rung for the whole network instead of one per exact
+            # (station, count) pair — with subspace.TRIM_QUANTUM keeping
+            # by_n itself O(1), this bounds total XLA compiles
+            # (VERDICT round-4 #1; SURVEY §7). Pad rows are zero
+            # templates (DS == 0) gated by +inf thresholds.
+            dmax = max(det[nm]["U"].shape[0] for nm in names)
             bank = _ds.build_bank([det[nm]["U"] for nm in names], Nc,
-                                  pad_len, prefer_os=prefer_os)
+                                  pad_len, prefer_os=prefer_os,
+                                  pad_S=_ds.pad_rows(len(names)),
+                                  min_dmax=_ds.pad_dims(dmax))
             bank["names"] = names
             if self.devicePrep:
                 if not bank.get("demux"):
@@ -264,8 +288,9 @@ class _SSDetex(object):
         histdic = {na: np.zeros(len(self.hist["Bins"]) - 1)
                    for na in names} if self.calcHist else None
         nc = len(channels)
-        det, banks = self._prepareDetectors(DFsta, sta, channels,
-                                            samplingRate)
+        with _prof.stage("detect.prepare_banks"):
+            det, banks = self._prepareDetectors(DFsta, sta, channels,
+                                                samplingRate)
         if self.classifyEvents is not None:
             datGen = self.fetcher.getTemData(self.eveKey, stakey,
                                              returnName=False,
@@ -373,11 +398,23 @@ class _SSDetex(object):
         # and the rare triggered chunks come back exactly as single-device.
         mesh = _pscan.engine_mesh()
         thresholds_by_bank = [
-            np.asarray([threshold[nm] for nm in bank["names"]], np.float32)
+            np.asarray([threshold[nm] for nm in bank["names"]] +
+                       [np.inf] * (int(bank["sum_u"].shape[0]) -
+                                   len(bank["names"])), np.float32)
             for bank in banks]
         ctx = dict(sta=sta, DF=pd.DataFrame(), numdets=0, histdic=histdic,
                    tableName=tableName, det=det, threshold=threshold,
                    nc=nc, open_batches=0, station_done=False)
+
+        def _pack_summary(hist, maxds):
+            """Pack the per-batch summaries into ONE device array so the
+            materialize step pays ONE blocking device->host round trip
+            instead of two (each a full tunnel RTT here): int32 histogram
+            bits ride as bitcast f32 (exact), maxds appended as-is."""
+            import jax
+            hb = jax.lax.bitcast_convert_type(
+                hist.astype(jnp.int32), jnp.float32).ravel()
+            return jnp.concatenate([hb, maxds.astype(jnp.float32).ravel()])
 
         def dispatch(batch):
             if not batch:
@@ -434,10 +471,22 @@ class _SSDetex(object):
                             bins=bins, max_trig=1, valid_lens=lens,
                             mesh=mesh, calc_hist=self.calcHist,
                             calc_triggers=False)
-                    if mesh is None:
-                        outs.append((bank, hist, maxds, Xin, lens))
+                    if mesh is None and X.nbytes <= _keep_dev_batch_bytes():
+                        outs.append((bank, hist, maxds,
+                                     _pack_summary(hist, maxds), Xin,
+                                     lens))
                         continue
-                outs.append((bank, hist, maxds, None, None))
+                    if mesh is None and not ctx.get("keep_warned"):
+                        ctx["keep_warned"] = True
+                        detex_tpu.log(
+                            __name__, "scan batch (%.0f MB) exceeds the "
+                            "re-verify retention budget "
+                            "(DETEX_TPU_REVERIFY_KEEP_MB); triggered "
+                            "chunks will re-upload instead"
+                            % (X.nbytes / 1e6), pri=True)
+                packed = (_pack_summary(hist, maxds) if mesh is None
+                          else None)
+                outs.append((bank, hist, maxds, packed, None, None))
             ctx["open_batches"] += 1
             self._inflight.append((ctx, outs, list(batch)))
             while len(self._inflight) > self._inflight_depth:
@@ -498,6 +547,10 @@ class _SSDetex(object):
         re-verify triggered chunks through the exact host path, accumulate
         histograms, and flush detections (FIFO — DB row order matches the
         serial formulation)."""
+        with _prof.stage("detect.materialize"):
+            self._materializeOneInner()
+
+    def _materializeOneInner(self):
         ctx, outs, batch = self._inflight.popleft()
         sta = ctx["sta"]
         det = ctx["det"]
@@ -518,9 +571,18 @@ class _SSDetex(object):
             # f32 maxds a hair below threshold silently drops a detection
             # the exact path would emit
             gate_eps = max(gate_eps, 2e-5)
-        for bank, hist_dev, maxds_dev, Xd, xlens in outs:
-            hist = np.asarray(hist_dev)      # blocks until device done
-            maxds = np.asarray(maxds_dev)
+        for bank, hist_dev, maxds_dev, packed_dev, Xd, xlens in outs:
+            if packed_dev is not None:
+                # single blocking transfer for both summaries (see
+                # _pack_summary): unpack by the device arrays' shapes
+                S_, nbin_ = hist_dev.shape
+                packed = np.asarray(packed_dev)
+                hist = packed[:S_ * nbin_].view(np.int32).reshape(S_,
+                                                                  nbin_)
+                maxds = packed[S_ * nbin_:].reshape(maxds_dev.shape)
+            else:
+                hist = np.asarray(hist_dev)  # blocks until device done
+                maxds = np.asarray(maxds_dev)
             # gate first: the batch's triggered detectors are re-verified
             # with ONE bank program over all triggered chunks (row-sized
             # transfers only) — a dense batch where k of S templates

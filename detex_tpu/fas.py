@@ -13,6 +13,7 @@ import numpy as np
 import scipy.stats
 
 import detex_tpu
+from detex_tpu import profiling as _prof
 from detex_tpu import construct as _construct
 from detex_tpu.core.utc import UTCDateTime
 from detex_tpu.ops import ds as _ds
@@ -68,9 +69,10 @@ def _initFAS(TRDF, conDatNum, cluster, fetcher, LTATime=5, STATime=0.5,
             else UTCDateTime(utcend)
         filt = cluster.filt
         deci = cluster.decimate
-        accepted, count, scount = _collectChunks(
-            fetcher, stakey, utc1, utc2, filt, deci, dtype, conDatNum, Nc,
-            STATime, LTATime, staltalimit)
+        with _prof.stage("fas.collect_chunks"):
+            accepted, count, scount = _collectChunks(
+                fetcher, stakey, utc1, utc2, filt, deci, dtype, conDatNum,
+                Nc, STATime, LTATime, staltalimit)
         if scount < conDatNum:
             # scount = chunks that survived screening; count = chunks tried
             detex_tpu.log(__name__, "only %d of the requested %d null "
@@ -89,33 +91,47 @@ def _initFAS(TRDF, conDatNum, cluster, fetcher, LTATime=5, STATime=0.5,
             detex_tpu.log(__name__, "Could not calculate FAS for %s %s"
                           % (sta_full, ents[0][1].Name), level="error")
         # one bank per template length; DS of every row in the group from
-        # the same batched device calls
+        # the same batched device calls. Trim quantization (subspace.py
+        # TRIM_QUANTUM) keeps the by_n ladder O(1); the bank shapes are
+        # padded to the shared row/basis-dim ladders so every station's
+        # group reuses ONE compiled program per rung (and prefer_os on
+        # TPU picks the same overlap-save/fold kernels the detection
+        # engine compiles — VERDICT round-4 #1 "canonicalize program
+        # shapes across stations").
         by_n = {}
         for ent in ents:
             by_n.setdefault(ent[2].shape[1], []).append(ent)
         for n, grp in sorted(by_n.items()):
+            dmax = max(e[2].shape[0] for e in grp)
             bank = _ds.build_bank([e[2] for e in grp], Nc,
-                                  int(conLen * sr * Nc))
+                                  int(conLen * sr * Nc),
+                                  prefer_os=_ds._use_pallas(),
+                                  pad_S=_ds.pad_rows(len(grp)),
+                                  min_dmax=_ds.pad_dims(dmax))
             dsmats = [[] for _ in grp]
             BATCH = 8
-            for s in range(0, len(accepted), BATCH):
-                for out in _ds.run_bank_batch(accepted[s:s + BATCH], bank,
-                                              Nc):
-                    for gi in range(len(grp)):
-                        dsmats[gi].append(out[gi])
+            with _prof.stage("fas.scan"):
+                for s in range(0, len(accepted), BATCH):
+                    for out in _ds.run_bank_batch(accepted[s:s + BATCH],
+                                                  bank, Nc):
+                        for gi in range(len(grp)):
+                            dsmats[gi].append(out[gi])
             for gi, (ind, row, U, _, _) in enumerate(grp):
-                dss = np.concatenate(dsmats[gi]).astype(
-                    np.float64 if dtype == "double" else np.float32)
-                results[ind]["hist"] = np.histogram(dss, bins=histBins)[0]
-                clipped = np.clip(dss, 1e-12, 1 - 1e-12)
-                betaparams = scipy.stats.beta.fit(clipped, floc=0,
-                                                  fscale=1)
-                results[ind]["betadist"] = betaparams
-                results[ind]["nnlf"] = scipy.stats.beta.nnlf(betaparams,
-                                                             clipped)
-                # normal-distribution null, carried by the reference's
-                # legacy matched-filter engine (extras/xcorr.py trigCon 2/3)
-                results[ind]["normdist"] = scipy.stats.norm.fit(dss)
+                with _prof.stage("fas.fit"):
+                    dss = np.concatenate(dsmats[gi]).astype(
+                        np.float64 if dtype == "double" else np.float32)
+                    results[ind]["hist"] = np.histogram(dss,
+                                                        bins=histBins)[0]
+                    clipped = np.clip(dss, 1e-12, 1 - 1e-12)
+                    betaparams = scipy.stats.beta.fit(clipped, floc=0,
+                                                      fscale=1)
+                    results[ind]["betadist"] = betaparams
+                    results[ind]["nnlf"] = scipy.stats.beta.nnlf(betaparams,
+                                                                 clipped)
+                    # normal-distribution null, carried by the reference's
+                    # legacy matched-filter engine (extras/xcorr.py
+                    # trigCon 2/3)
+                    results[ind]["normdist"] = scipy.stats.norm.fit(dss)
     return results
 
 

@@ -225,9 +225,16 @@ def irfft_ct(spec, n):
     assert spec.shape[-1] == R
     sr = jnp.real(spec)
     si = jnp.imag(spec)
-    # hermitian extension: Z[n-k] = conj(Z[k]), k = 1..n/2-1
-    zr = jnp.concatenate([sr, sr[..., -2:0:-1]], axis=-1)
-    zi = jnp.concatenate([si, -si[..., -2:0:-1]], axis=-1)
+    # hermitian extension: Z[n-k] = conj(Z[k]), k = 1..n/2-1. The
+    # optimization_barrier keeps XLA from fusing the reverse into the
+    # concat's pad form — the TPU fusion emitter aborts on a reversed
+    # input whose pad_low is the concat offset (fusion_emitter.cc
+    # "Check failed: window.pad_low[i] == 0 (R vs. 0)", reproduced at
+    # blk_fft=16384 geometries; /tmp/repro_fold.py round 5)
+    mr, mi = jax.lax.optimization_barrier(
+        (sr[..., -2:0:-1], si[..., -2:0:-1]))
+    zr = jnp.concatenate([sr, mr], axis=-1)
+    zi = jnp.concatenate([si, -mi], axis=-1)
     n1, n2 = _split(n)
     if n1 == 128 and n <= 32768 and _use_pallas_dft():
         lead = zr.shape[:-1]

@@ -126,7 +126,7 @@ def ds_bank_chunks(X, Ufd, sum_u, d_mask, n, nc, nfft):
     return jax.vmap(lambda x: ds_bank(x, Ufd, sum_u, d_mask, n, nc, nfft))(X)
 
 
-def make_bank(U_list, nfft, dtype=jnp.float32):
+def make_bank(U_list, nfft, dtype=jnp.float32, min_dmax=0):
     """
     Pack a list of [D_i, n] basis arrays (equal n) into padded bank arrays.
 
@@ -136,7 +136,7 @@ def make_bank(U_list, nfft, dtype=jnp.float32):
     n = U_list[0].shape[1]
     assert all(u.shape[1] == n for u in U_list)
     S = len(U_list)
-    Dmax = max(u.shape[0] for u in U_list)
+    Dmax = max(max(u.shape[0] for u in U_list), int(min_dmax))
     U = np.zeros((S, Dmax, n), dtype=np.float64)
     mask = np.zeros((S, Dmax), dtype=bool)
     for i, u in enumerate(U_list):
@@ -162,7 +162,7 @@ def make_bank(U_list, nfft, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 
-def make_bank_demux(U_list, nc, nfft2, dtype=jnp.float32):
+def make_bank_demux(U_list, nc, nfft2, dtype=jnp.float32, min_dmax=0):
     """
     Pack [D_i, n] multiplexed basis arrays into a demultiplexed bank:
     Ufd2 [S, Dmax, nc, R2] (rfft of reversed per-channel templates at
@@ -171,7 +171,7 @@ def make_bank_demux(U_list, nc, nfft2, dtype=jnp.float32):
     n = U_list[0].shape[1]
     assert n % nc == 0, "template length must be a multiple of nc"
     S = len(U_list)
-    Dmax = max(u.shape[0] for u in U_list)
+    Dmax = max(max(u.shape[0] for u in U_list), int(min_dmax))
     n_c = n // nc
     Ud = np.zeros((S, Dmax, nc, n_c), dtype=np.float64)
     mask = np.zeros((S, Dmax), dtype=bool)
@@ -258,7 +258,7 @@ def os_min_block(n_c):
     return n_c - 1 + pad0 + 128
 
 
-def make_bank_demux_os(U_list, nc, blk_fft, dtype=jnp.float32):
+def make_bank_demux_os(U_list, nc, blk_fft, dtype=jnp.float32, min_dmax=0):
     """Pack [D_i, n] multiplexed bases into an overlap-save demuxed bank:
     Ufd2 [S, Dmax, nc, blk_fft//2+1] (rfft of reversed per-channel
     templates at the block length)."""
@@ -269,7 +269,7 @@ def make_bank_demux_os(U_list, nc, blk_fft, dtype=jnp.float32):
         "block FFT too small: need >= aligned head + 128 " \
         "(os_min_block(n_c) = %d)" % os_min_block(n_c)
     S = len(U_list)
-    Dmax = max(u.shape[0] for u in U_list)
+    Dmax = max(max(u.shape[0] for u in U_list), int(min_dmax))
     Ud = np.zeros((S, Dmax, nc, n_c), dtype=np.float64)
     mask = np.zeros((S, Dmax), dtype=bool)
     sum_u = np.zeros((S, Dmax), dtype=np.float64)
@@ -734,8 +734,39 @@ def fold_scan_supported(B, S, Dmax, n_c, blk_fft):
 OS_SPECTRA_BUDGET = 1 << 26
 
 
+def pad_rows(S):
+    """Detector-row count ladder for shape-canonical banks: the smallest
+    S' >= S that is a multiple of max(8, 2^(bit_length(S-1)-3)) — i.e.
+    multiples of 8 up to 64, then ~12.5%-granularity rungs (96, 112, 128,
+    160, ...). Detector banks padded to a rung share one compiled XLA
+    program across stations/groups whose true counts land on the same
+    rung, instead of one program per exact count (remote compiles cost
+    minutes on this backend — SURVEY §7 "keep XLA compile counts
+    bounded"); the pad rows are all-zero templates whose DS is
+    identically 0. Wasted compute is bounded at ~12.5%.
+    DETEX_TPU_PAD_BANKS=0 disables both shape ladders (exact counts)."""
+    import os
+    S = int(S)
+    if os.environ.get("DETEX_TPU_PAD_BANKS", "1") == "0":
+        return S
+    if S <= 8:
+        return 8
+    q = max(8, 1 << (int(S - 1).bit_length() - 3))
+    return -(-S // q) * q
+
+
+def pad_dims(D):
+    """Basis-dimension ladder (next power of two): banks whose true Dmax
+    lands on the same rung share a compiled program; masked pad slots are
+    zero templates. DETEX_TPU_PAD_BANKS=0 disables."""
+    import os
+    if os.environ.get("DETEX_TPU_PAD_BANKS", "1") == "0":
+        return int(D)
+    return 1 << max(int(D - 1).bit_length(), 0)
+
+
 def build_bank(U_list, nc, data_len_samps, dtype=jnp.float32,
-               block_fft=None, prefer_os=False):
+               block_fft=None, prefer_os=False, pad_S=None, min_dmax=0):
     """
     Pack basis arrays into the fastest applicable bank for scanning chunks
     of ``data_len_samps`` multiplexed samples: the demultiplexed (polyphase)
@@ -752,15 +783,27 @@ def build_bank(U_list, nc, data_len_samps, dtype=jnp.float32,
     the fold-batch scan path (parallel/scan.py) needs it; on TPU the
     short-block matmul DFTs plus the fused finalize beat the full-length
     backend FFT once the chunk batch is folded into each op.
+
+    ``pad_S`` pads the detector-row count with all-zero templates (DS
+    identically 0) and ``min_dmax`` pads the basis-slot count with masked
+    zero slots: banks padded to a shared shape ladder (:func:`pad_rows`,
+    :func:`pad_dims`) compile ONE program per rung instead of one per
+    exact count — the round-4 end-to-end collapse was compile-dominated
+    (CONFIG5_r04; VERDICT round-4 #1). Callers that index detector rows
+    must use their true row list (e.g. bank["names"]), not ``sum_u``'s
+    padded leading dim.
     """
     n = U_list[0].shape[1]
+    if pad_S is not None and int(pad_S) > len(U_list):
+        U_list = list(U_list) + [np.zeros((1, n), np.float64)] * (
+            int(pad_S) - len(U_list))
     pad_len = int(data_len_samps)
     pad_len += (-pad_len) % nc  # keep divisible by nc
     if n % nc == 0:
         n_c = n // nc
         L_c = pad_len // nc
         nfft2 = 2 ** int(L_c + n_c).bit_length()
-        Dmax = max(u.shape[0] for u in U_list)
+        Dmax = max(max(u.shape[0] for u in U_list), int(min_dmax))
         full_elems = len(U_list) * Dmax * nc * (nfft2 // 2 + 1)
         use_os = (block_fft if block_fft is not None
                   else (prefer_os or full_elems > OS_SPECTRA_BUDGET))
@@ -773,14 +816,17 @@ def build_bank(U_list, nc, data_len_samps, dtype=jnp.float32,
                 blk *= 2
             blk = min(blk, nfft2)
             if blk < os_min_block(n_c):  # chunk too short for OS blocks
-                bank = make_bank_demux(U_list, nc, nfft2, dtype)
+                bank = make_bank_demux(U_list, nc, nfft2, dtype,
+                                       min_dmax=min_dmax)
             else:
-                bank = make_bank_demux_os(U_list, nc, blk, dtype)
+                bank = make_bank_demux_os(U_list, nc, blk, dtype,
+                                          min_dmax=min_dmax)
         else:
-            bank = make_bank_demux(U_list, nc, nfft2, dtype)
+            bank = make_bank_demux(U_list, nc, nfft2, dtype,
+                                   min_dmax=min_dmax)
     else:
         nfft = 2 ** int(pad_len + n).bit_length()
-        bank = make_bank(U_list, nfft, dtype)
+        bank = make_bank(U_list, nfft, dtype, min_dmax=min_dmax)
         bank["nfft"] = nfft
         bank["demux"] = False
         bank["nc"] = int(nc)
@@ -1022,18 +1068,39 @@ def run_bank_triggers_batch(x_list, bank, nc, rows_list, thr_list, sr_list,
         idx_d, cnt_d, dsv_d, slv_d = _trig.trigger_rows_device(
             rows_dev, thr, L, sta_n, lta_n, buff, max_triggers,
             use_stalta)
-        cnt = np.asarray(cnt_d)
-        # transfer only up to the max trigger count (rounded to a power
-        # of two so slice shapes share compiles), not the full K columns
-        cmax = max(int(cnt.max()), 1)
-        cp = 1 << (cmax - 1).bit_length()
-        idx = np.asarray(idx_d[:, :cp])
-        dsv = np.asarray(dsv_d[:, :cp])
-        slv = np.asarray(slv_d[:, :cp]) if use_stalta else None
+        # ONE blocking transfer for the whole group: counts + the first
+        # CAP trigger columns of idx/ds/stalta packed into a single f32
+        # array (idx and cnt are < 2^24, exact in f32). The previous
+        # count-then-slice flow paid TWO dependent round trips plus one
+        # per output array through this tunnel (~25-30 ms each — the
+        # dense-mode gap's dominant term, PERF.md round 5); the escalation
+        # re-fetch below only fires when some row exceeds CAP triggers.
+        cap = min(64, int(max_triggers))
+        if L >= (1 << 24):
+            cap = 0          # idx would lose f32 exactness; unpacked path
+        if cap:
+            packed = np.asarray(_trig.pack_trigger_outputs(
+                idx_d, cnt_d, dsv_d, slv_d if use_stalta else None, cap))
+            cnt = packed[:, 0].astype(np.int64)
+            idx = packed[:, 1:1 + cap].astype(np.int64)
+            dsv = packed[:, 1 + cap:1 + 2 * cap].astype(np.float32)
+            slv = packed[:, 1 + 2 * cap:] if use_stalta else None
+            cmax = max(int(cnt.max()), 1)
+        else:
+            cnt = np.asarray(cnt_d).astype(np.int64)
+            cmax = max(int(cnt.max()), 1)
+        if cmax > cap:
+            # rare: more than CAP triggers on some row — re-fetch full
+            # columns (power-of-two sliced so shapes share compiles)
+            cp = 1 << (cmax - 1).bit_length()
+            idx = np.asarray(idx_d[:, :cp]).astype(np.int64)
+            dsv = np.asarray(dsv_d[:, :cp])
+            slv = np.asarray(slv_d[:, :cp]) if use_stalta else None
         for k, (ci, si, _t) in enumerate(jobs):
             nf = int(cnt[k])
-            res[ci][si] = (idx[k, :nf].astype(np.int64), dsv[k, :nf],
-                           slv[k, :nf] if use_stalta else None)
+            res[ci][si] = (idx[k, :nf], dsv[k, :nf],
+                           np.asarray(slv[k, :nf], np.float32)
+                           if use_stalta else None)
     return res
 
 
@@ -1075,53 +1142,20 @@ def run_bank_rows_batch(x_list, bank, nc, rows_list):
 def run_bank_batch(x_list, bank, nc):
     """
     Run a detector bank over a list of host chunks in ONE device call
-    (lax.map over the stacked, padded batch). Returns a list of numpy
+    (the fold-batch scan when supported, else lax.map over the stacked
+    batch — _bank_batch_out, which also pads the batch to the next power
+    of two so ragged trailing batches share compile classes instead of
+    each compiling a fresh program). Returns a list of numpy
     [S, n_valid_i] DS arrays, one per input chunk.
     """
     if not x_list:
         return []
-    pad_len = bank["pad_len"]
+    out, lens = _bank_batch_out(x_list, bank, nc)
     n = bank["n"]
-    B = len(x_list)
-    X = np.zeros((B, pad_len), np.float32)
-    lens = []
-    for i, x in enumerate(x_list):
-        L = min(len(x), pad_len)
-        X[i, :L] = np.asarray(x[:L], np.float32)
-        lens.append(L)
-    Xd = jnp.asarray(X)
-    if bank.get("os"):
-        Dmax = int(bank["Dmax"])
-        S = int(bank["sum_u"].shape[0])
-        L_c = pad_len // int(nc)
-        _, _, _, W_, m_ = _os_geometry(L_c, bank["n_c"], bank["blk_fft"])
-        fold_ok = (fold_scan_supported(B, S, Dmax, bank["n_c"],
-                                       bank["blk_fft"])
-                   and B * S * Dmax * m_ * bank["blk_fft"] * 4 <= (2 << 30))
-        if fold_ok:
-            # fold-batch path (see os_prep_batch): one op instance per
-            # stage for the whole chunk batch instead of lax.map
-            nv = jnp.asarray([(L - n) // int(nc) + 1 for L in lens],
-                             jnp.int32)
-            out = _run_bank_batch_fold(Xd, nv, bank["Ufd2"],
-                                       bank["sum_u"], bank["d_mask"],
-                                       bank["n_c"], int(nc),
-                                       bank["blk_fft"])
-        else:
-            out = _ds_map_demux_os(Xd, bank["Ufd2"], bank["sum_u"],
-                                   bank["d_mask"], bank["n_c"], int(nc),
-                                   bank["blk_fft"])
-    elif bank.get("demux"):
-        out = _ds_map_demux(Xd, bank["Ufd2"], bank["sum_u"],
-                            bank["d_mask"], bank["n_c"], int(nc),
-                            bank["nfft2"])
-    else:
-        out = _ds_map_mux(Xd, bank["Ufd"], bank["sum_u"], bank["d_mask"],
-                          bank["n"], int(nc), bank["nfft"])
     out = np.asarray(out)
     res = []
-    for i, L in enumerate(lens):
-        n_valid = (L - n) // int(nc) + 1
+    for i in range(len(x_list)):
+        n_valid = (lens[i] - n) // int(nc) + 1
         res.append(out[i, :, :max(n_valid, 0)])
     return res
 

@@ -808,7 +808,9 @@ def _spec_ds_fold_kernel(ur_ref, ui_ref, fr_ref, fi_ref, a_ref, p_ref,
     live): noswap1 (rri transpose), nodot1 (stage-1 dot), noswapbb
     (bb transpose; requires n1 == n2), tail2 (stage-2 dot + x swap +
     Nyquist term), fma1 (single-channel FMA), nohist (histogram
-    accumulate). Never set on any production path."""
+    accumulate), histbf16 (bf16 coarse/fine/kio one-hot compares —
+    count-identical, a vectorization experiment rather than an
+    ablation). Never set on any production path."""
     if emit_ds:
         ds_ref, pyr_ref, hist_ref = refs
         acc_ref = ds_ref
@@ -1115,10 +1117,11 @@ def spec_ds_fold(ur, ui, fr, fi, a, power, sum_u, nv, mode, nc, D, W, head,
     g = int(round(nbin ** 0.5)) if nbin else 1
     if nbin:
         assert g * g == nbin, "nbin must be a perfect square"
+    ab = frozenset(v for v in ablate.split(",") if v)
+    _check_ablate(ab, _SPEC_DS_ABLATIONS)
     kern = partial(_spec_ds_fold_kernel, mode=mode, nc=nc, D=D, W=W,
                    nbin=nbin, n1=n1, n2=n2, head=head, Rp=Rp, prec=prec,
-                   emit_ds=emit_ds, udtype=udtype,
-                   ablate=frozenset(v for v in ablate.split(",") if v))
+                   emit_ds=emit_ds, udtype=udtype, ablate=ab)
     kio = jnp.arange(g, dtype=jnp.float32)[:, None]
     const = lambda j, i, d: (0, 0)                     # noqa: E731
     cspec = [pl.BlockSpec(w2p.shape, const, memory_space=_VMEM),
@@ -1261,6 +1264,22 @@ def rfft_ct_half(x, n, interpret=None):
 PREP_STF = max(1, int(os.environ.get("DETEX_TPU_PREP_STF", "4")))
 
 
+# known ablation tokens per kernel: a typo'd token would otherwise time
+# identically to base and read as "op share ~0%" — a silent wrong
+# bisection (round-4 ADVICE)
+_SPEC_DS_ABLATIONS = frozenset(["noswap1", "nodot1", "noswapbb", "tail2",
+                                "fma1", "nohist", "histbf16"])
+_FWD_PREP_ABLATIONS = frozenset(["pnoswapin", "pnodot1", "pnoswapbb",
+                                 "ptail2", "pnostats"])
+
+
+def _check_ablate(ab, known):
+    unknown = ab - known
+    if unknown:
+        raise ValueError("unknown ablate token(s) %s; known: %s"
+                         % (sorted(unknown), sorted(known)))
+
+
 def _fwd_prep_fold_kernel(*refs, nc, stf, n1, n2, W, D0, pad0, n_win,
                           out_len, prec, ablate=frozenset()):
     """Grid (B, mt): one cell turns (stf+1) W-wide slices of one chunk's
@@ -1281,7 +1300,13 @@ def _fwd_prep_fold_kernel(*refs, nc, stf, n1, n2, W, D0, pad0, n_win,
     f*W + blk) ⊇ that — prefix sums over the framed (nc*stf, blk) rows
     (already built for the transforms) replace the million-sample global
     cumsum (and its f32 mean-centering crutch: frame sums are O(1e4)
-    samples, well inside f32 at the bf16x3 dot precision)."""
+    samples, well inside f32 at the bf16x3 dot precision).
+
+    ``ablate`` (measurement ONLY — scripts/probe_kernel_anatomy.py, same
+    contract as _spec_ds_fold_kernel: shape-identical cheap fabrications,
+    WRONG values): pnoswapin (input transpose), pnodot1 (stage-1 dot),
+    pnoswapbb (bb transpose; requires n1 == n2), ptail2 (stage-2 dots +
+    output swaps), pnostats (the whole window-stats block)."""
     xs = refs[:stf + 1]
     (w2p_ref, twr_ref, twi_ref, w1pr_ref, w1pi_ref, tri_ref, triL_ref,
      or_ref, oi_ref, a_ref, p_ref) = refs[stf + 1:]
@@ -1435,10 +1460,11 @@ def fwd_prep_fold(xq, nc, n_c, blk, stf, out_len, interpret=None,
     w1pi = np.concatenate([w1hi.T, w1hr.T], axis=0)
     tri = np.triu(np.ones((128, 128), np.float32))
     triL = np.triu(np.ones((blk // 128, blk // 128), np.float32))
+    ab = frozenset(v for v in ablate.split(",") if v)
+    _check_ablate(ab, _FWD_PREP_ABLATIONS)
     kern = partial(_fwd_prep_fold_kernel, nc=nc, stf=stf, n1=n1, n2=n2,
                    W=W, D0=D0, pad0=pad0, n_win=n_c * nc,
-                   out_len=out_len, prec=prec,
-                   ablate=frozenset(v for v in ablate.split(",") if v))
+                   out_len=out_len, prec=prec, ablate=ab)
 
     def xmap(q):
         return lambda b, jt: (b, 0, jt * stf + q)

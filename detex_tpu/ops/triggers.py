@@ -258,3 +258,21 @@ def extract_triggers_pyramid_pm(ceval, pyr_max, threshold, buff_samps,
     return _pyramid_suppress_scan(ceval.astype(jnp.float32), pyr_max,
                                   threshold, buff_samps, max_triggers,
                                   block, L)
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def pack_trigger_outputs(idx, cnt, dsv, slv, cap):
+    """Pack trigger_rows_device outputs into ONE transferable f32 array
+    [R, 1 + cap * (2 | 3)]: column 0 the per-row counts, then the first
+    ``cap`` columns of idx, ds values, and (when ``slv`` is not None) the
+    STA/LTA values. idx and cnt are small integers (< 2^24 — the caller
+    guards the row length), exact in float32; ds/stalta are f32 already,
+    so the round trip is bit-exact. One packed transfer replaces the
+    count round trip + one per output array on the dense re-verify path
+    (each a full tunnel RTT — PERF.md round 5 dense-gap arithmetic)."""
+    parts = [cnt[:, None].astype(jnp.float32),
+             idx[:, :cap].astype(jnp.float32),
+             dsv[:, :cap].astype(jnp.float32)]
+    if slv is not None:
+        parts.append(slv[:, :cap].astype(jnp.float32))
+    return jnp.concatenate(parts, axis=1)

@@ -30,6 +30,10 @@ import jax                                            # noqa: E402
 
 if os.environ.get("PK_CPU") == "1":   # smoke-test off-device (interpret)
     jax.config.update("jax_platforms", "cpu")
+    # the platform gates default False on CPU; force both kernels so the
+    # smoke path exercises prep AND kern (round-4 ADVICE)
+    os.environ.setdefault("DETEX_TPU_PALLAS", "1")
+    os.environ.setdefault("DETEX_TPU_MATMUL_FFT", "1")
 
 import jax.numpy as jnp                               # noqa: E402
 
@@ -191,12 +195,27 @@ def make_kern(ab):
     return p
 
 
+def _variant_ok(v):
+    """Skip geometry-incompatible ablations with a notice instead of
+    tripping the kernel's assert mid-sweep (round-4 ADVICE: noswapbb /
+    pnoswapbb require n1 == n2, which blk=32768 violates)."""
+    from detex_tpu.ops import dft as _dft
+    n1_, n2_ = _dft._split(blk)
+    if v in ("noswapbb", "pnoswapbb") and n1_ != n2_:
+        print("  %-10s SKIPPED (requires n1 == n2; blk=%d has %dx%d)"
+              % (v, blk, n1_, n2_), flush=True)
+        return False
+    return True
+
+
 if __name__ == "__main__":
     results = {}
     if PREP_VARIANTS:
         print("== fwd_prep_fold ==", flush=True)
         base = None
         for v in PREP_VARIANTS:
+            if not _variant_ok(v):
+                continue
             ab = "" if v == "base" else v
             per = timeit(v, make_prep(ab), base)
             if v == "base":
@@ -208,6 +227,8 @@ if __name__ == "__main__":
         _spectra(Xs[0]); _spectra(Xs[1])
         base = None
         for v in KERN_VARIANTS:
+            if not _variant_ok(v):
+                continue
             ab = "" if v == "base" else v
             per = timeit(v, make_kern(ab), base)
             if v == "base":

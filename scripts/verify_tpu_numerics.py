@@ -200,6 +200,85 @@ def main():
     assert abs(float(ds64.max()) - float(ms1[1, 0])) < 2e-5, \
         "spec-ds drifted from the float64 oracle"
 
+    # ---- round-4 kernels (VERDICT round-4 #4) ----------------------------
+    # fwd_prep_fold (fused framing + forward CT + window stats) vs the XLA
+    # prep, on the SAME fused spec->DS scan: interpret mode accepts Mosaic
+    # formulations real TPU rejects (PERF.md round 4), so this must gate
+    # the compiled kernel's values
+    assert dsops.fwd_prep_ok(bank_sd["n_c"], nc, 16384), \
+        "fused prep unsupported on device for the gate config"
+    outs_fp = {}
+    for flag in ("1", "0"):
+        os.environ["DETEX_TPU_FUSED_PREP"] = flag
+        pscan._scan_chunks_fold_jit.clear_cache()
+        h, mx, ti, tv, tc = pscan.scan_chunks(
+            XS, dict(bank_sd), ths, nc, 250, max_trig=8)
+        outs_fp[flag] = (np.asarray(h), np.asarray(mx), np.asarray(ti),
+                         np.asarray(tc))
+    os.environ.pop("DETEX_TPU_FUSED_PREP", None)
+    hf1, mf1, tif1, tcf1 = outs_fp["1"]
+    hf0, mf0, tif0, tcf0 = outs_fp["0"]
+    print("fwd-prep fused-vs-xla maxds|diff| = %.3g, trig equal = %s, "
+          "hist cells diff = %d"
+          % (float(np.abs(mf1 - mf0).max()),
+             bool((tif1 == tif0).all() and (tcf1 == tcf0).all()),
+             int((hf1 != hf0).sum())))
+    assert float(np.abs(mf1 - mf0).max()) < 2e-5, "fwd_prep_fold drifted"
+    assert (tif1 == tif0).all() and (tcf1 == tcf0).all()
+    assert (hf1.sum(axis=1) == hf0.sum(axis=1)).all()
+    assert int((hf1 != hf0).sum()) <= 16
+    assert abs(float(ds64.max()) - float(mf1[1, 0])) < 2e-5, \
+        "fused-prep DS drifted from the float64 oracle"
+
+    # U-spectra storage variants (bf16 / bf16x2) vs f32, compiled on
+    # device: bf16x2 must stay inside the engine's f32 gate margin
+    # (~1e-4); bf16 is the documented ~3e-3 relative-error variant
+    for udt, tol in (("bf16x2", 1e-4), ("bf16", 1e-2)):
+        os.environ["DETEX_TPU_SPEC_UDTYPE"] = udt
+        pscan._scan_chunks_fold_jit.clear_cache()
+        h, mx, ti, tv, tc = pscan.scan_chunks(
+            XS, dict(bank_sd), ths, nc, 250, max_trig=8)
+        os.environ.pop("DETEX_TPU_SPEC_UDTYPE", None)
+        d_u = float(np.abs(np.asarray(mx) - ms1).max())
+        print("spec-udtype %s vs f32 maxds|diff| = %.3g" % (udt, d_u))
+        assert d_u < tol, "%s spectra drifted beyond %g" % (udt, tol)
+        assert int(np.asarray(tc)[1, 0]) >= 1, \
+            "planted event lost by %s spectra" % udt
+
+    # device-windowed trigger extraction (trigger_rows_device via
+    # run_bank_triggers_batch) vs the exact host chain, on device rows
+    from detex_tpu.ops import stalta as _stalta
+    from detex_tpu.ops import triggers as _trig
+    sr_g = 25.0
+    rows_list = [[0, 1], [2]]
+    thr_list = [[0.25, 0.3], [0.3]]
+    chunks_g = [np.asarray(XS[1][: LcS - 3 * 7], np.float32),
+                np.asarray(XS[2], np.float32)]
+    got_tr = dsops.run_bank_triggers_batch(
+        chunks_g, bank_sd, nc, rows_list, thr_list, [sr_g, sr_g],
+        10.0, 0.5, True, max_triggers=64)
+    rows_ref = dsops.run_bank_rows_batch(chunks_g, bank_sd, nc, rows_list)
+    n_trig_checked = 0
+    for ci, (rws, thrs) in enumerate(zip(rows_list, thr_list)):
+        for si, thr in zip(rws, thrs):
+            dsvec = rows_ref[ci][si]
+            if dsvec.max() > 1.1:
+                dsvec = np.where(np.isfinite(dsvec), dsvec, 0.0)
+            sl = np.asarray(_stalta.ds_stalta(
+                dsvec, 10.0 * sr_g, max(int(0.5 * sr_g), 1)))
+            idx_h, cnt_h = _trig.extract_triggers(
+                dsvec, float(thr), int(20 * sr_g), max_triggers=64)
+            idx_h = np.asarray(idx_h)[: int(cnt_h)]
+            idx_d, ds_d, sl_d = got_tr[ci][si]
+            assert len(idx_d) == len(idx_h), (ci, si)
+            np.testing.assert_array_equal(idx_d, idx_h)
+            np.testing.assert_array_equal(ds_d, dsvec[idx_h])
+            np.testing.assert_allclose(sl_d, sl[idx_h], rtol=1e-6)
+            n_trig_checked += len(idx_d)
+    print("device-trigger chain rows checked: %d triggers (incl. planted)"
+          % n_trig_checked)
+    assert n_trig_checked >= 1, "no triggers exercised the device chain"
+
     nbad = int((got != want).sum())
     print("hist mismatch cells: %d / %d" % (nbad, got.size))
     # row totals must match exactly; individual cells may differ for

@@ -209,8 +209,15 @@ def test_classify_conbuff_trim(small_ss, synth_case):
     old = fet.conBuff
     lens = {}
     try:
-        # duration=20 s templates: conBuff=1000 -> no trim; conBuff=5 ->
-        # 15 s trimmed off the tail
+        # duration=20 s templates (lengthened slightly by the trim
+        # quantization — compute the actual duration from SampleTrims):
+        # conBuff=1000 -> no trim; conBuff=5 -> (dur - 5) s trimmed off
+        # the tail
+        row0 = next(iter(ss.subspaces.values())).iloc[0]
+        nc_ = len(next(iter(row0.Channels.values())))
+        dur = (row0.SampleTrims["Endtime"] -
+               row0.SampleTrims["Starttime"]) / (sr * nc_)
+        assert dur >= 20.0
         for label, buff in [("full", 1000.0), ("trimmed", 5.0)]:
             fet.conBuff = buff
             if os.path.exists("UTCsaves.pkl"):
@@ -223,4 +230,4 @@ def test_classify_conbuff_trim(small_ss, synth_case):
             lens[label] = len(df.iloc[0].SSdetect)
     finally:
         fet.conBuff = old
-    assert lens["full"] - lens["trimmed"] == int(15 * sr)
+    assert lens["full"] - lens["trimmed"] == int((dur - 5.0) * sr)

@@ -169,10 +169,18 @@ def test_engine_device_triggers_identical(ss_small, tmp_path, monkeypatch):
     monkeypatch.delenv("DETEX_TPU_DEVICE_TRIGGERS", raising=False)
     ss.detex(subspaceDB=db_nomesh, useSingles=True, estimateMags=True,
              batchSize=8)
+    # retention budget exceeded (VERDICT round-4 #8): the engine must NOT
+    # keep the scan batch alive — the re-verify re-uploads its triggered
+    # chunks — and the emitted rows stay identical
+    db_nokeep = str(tmp_path / "nokeep.db")
+    monkeypatch.setenv("DETEX_TPU_REVERIFY_KEEP_MB", "0")
+    ss.detex(subspaceDB=db_nokeep, useSingles=True, estimateMags=True,
+             batchSize=8)
+    monkeypatch.delenv("DETEX_TPU_REVERIFY_KEEP_MB", raising=False)
     n_checked = 0
     for table in ("ss_df", "sg_df"):
         want = _rows(db_host, table)
-        for db in (db_dev, db_nomesh):
+        for db in (db_dev, db_nomesh, db_nokeep):
             got = _rows(db, table)
             assert len(got) == len(want)
             if len(got) == 0:

@@ -154,7 +154,12 @@ def test_subspace_picktimes_scripted(synth_case, tmp_path):
             # channel-aligned sample and spans duration (ref :1384-1401)
             start = int(ScriptedPicker.pick_at)
             assert trims["Starttime"] == start - start % Nc
-            assert trims["Endtime"] == trims["Starttime"] + int(20 * Sr * Nc)
+            # the window spans duration, rounded up to the template-
+            # length quantum (subspace.TRIM_QUANTUM, round 5)
+            from detex_tpu.subspace import TRIM_QUANTUM
+            q = TRIM_QUANTUM * Nc
+            want = -(-int(20 * Sr * Nc) // q) * q
+            assert trims["Endtime"] == trims["Starttime"] + want
             assert trims["DurationSeconds"] == 20
             assert "P" in trims and "Pend" in trims
     # traces shown to the picker are the group events (channel=event name)
