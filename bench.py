@@ -331,11 +331,10 @@ def bench_scan_dense(trigger_rate=0.03):
     eng.triggerSTATime = 0
     WFs = np.stack([c * U[0] + 0.3 * rng.standard_normal(n)
                     for _ in range(4)]).astype(np.float64)
-    UtU = U.T @ U
-    det = {"SS0": dict(U=U, WFs=WFs, UtU=UtU, n=n,
+    det = {"SS0": dict(U=U, WFs=WFs, n=n,
                        mags=np.array([1.0, 1.2, 0.9, 1.1]),
                        events=["e%d" % i for i in range(4)],
-                       offsets=np.zeros(4), WFU=WFs @ UtU)}
+                       offsets=np.zeros(4), WFU=(WFs @ U.T) @ U)}
 
     def step(X):
         # engine configuration: summary-only scan, triggers host-side

@@ -203,13 +203,18 @@ class _SSDetex(object):
                     upr = mptd
                 U = np.array([upr / np.linalg.norm(upr)])
                 WFs = np.array([upr])
-            UtU = U.T @ U
             dlen = U.shape[1]
             mags = np.array([row.Stats[x]["magnitude"] for x in events])
+            # WFU = WFs @ (U^T U), associated as (WFs @ U^T) @ U: same
+            # math as the reference's UtU product (detect.py:367,381) at
+            # O(E n D) instead of O(E n^2) FLOPs — and the [n, n] UtU
+            # matrix (648 MB f64 at n=9000; a rank-1 outer product per
+            # singleton) is never materialized. _estMag applies the same
+            # association per trigger (PERF.md round 5 dense-gap fix).
             det[row.Name] = dict(
-                U=U, WFs=WFs, UtU=UtU, n=dlen, mags=mags,
+                U=U, WFs=WFs, n=dlen, mags=mags,
                 events=events, offsets=row.Offsets,
-                WFU=np.dot(WFs, UtU))
+                WFU=np.dot(np.dot(WFs, U.T), U))
         # group by template length into banks (demuxed fast path when the
         # template length divides into the channels)
         banks = []
@@ -903,7 +908,7 @@ class _SSDetex(object):
         """Projected-energy and std-ratio magnitudes, CC^2-weighted
         (reference _estMag detect.py:447-499, Chambers et al. 2015)."""
         WFU = info["WFU"]
-        UtU = info["UtU"]
+        U = info["U"]
         ewf = info["WFs"]
         mags = info["mags"]
         WFlen = WFU.shape[1]
@@ -911,7 +916,11 @@ class _SSDetex(object):
         if len(ConDat) < WFlen:
             return np.nan, np.nan, np.nan
         if self.issubspace:
-            ssCon = UtU @ ConDat
+            # (U^T U) @ ConDat associated as U^T @ (U @ ConDat): the
+            # reference's projected energy (detect.py:460-462) at
+            # O(n D) instead of O(n^2) per trigger — the dense path
+            # runs this once per detection (PERF.md round 5)
+            ssCon = U.T @ (U @ ConDat)
             proEn = np.var(ssCon) / np.var(WFU, axis=1)
         # pre-event noise level for SNR
         if trigIndex * nc > 5 * WFlen:
