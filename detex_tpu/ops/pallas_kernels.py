@@ -616,8 +616,15 @@ def ds_finalize_os_fold(cb, a, power, sum_u, nv, head, D, W, nbin=0,
         assert a.shape == (G, m * W) and power.shape == (G, m * W)
         assert group % 8 == 0 or group == BS, \
             "grouped stats need tiles that never straddle chunks"
+        # tiles must not straddle chunks: st must DIVIDE group, but
+        # fold_tile_rows returns a power of two while pad_rows rungs are
+        # multiples of 8 (24, 48, 96, ...) — walk down to a divisor
+        # (st=8 always divides; group % 8 == 0 above, and st | group
+        # implies st | BS since BS = G * group)
         st = min(st, group)
-        assert group % st == 0
+        while st > 8 and group % st:
+            st //= 2
+        assert group % st == 0 and BS % st == 0
         tpc = group // st               # row tiles per chunk
         # 3-D layout so the (1, W) tile is Mosaic-legal for any G: the
         # block's last two dims (1, W) equal/divide the array's (1, m*W)

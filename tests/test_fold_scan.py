@@ -174,6 +174,37 @@ def test_finalize_os_fold_hist_matches_np(pallas_env):
         assert (ds[r, nv[r]:] == -np.inf).all()
 
 
+def test_finalize_os_fold_group_not_pow2_tile(pallas_env):
+    """Regression (round 5): grouped-stats mode with a pad_rows rung that
+    a power-of-two tile row count does not divide (group=24, budget-capped
+    st=16 -> 24 % 16 != 0 tripped an assert; the kernel must walk st down
+    to a divisor). Values must equal the per-row mode with the chunk stats
+    repeated per detector row."""
+    from detex_tpu.ops.pallas_kernels import (ds_finalize_os_fold,
+                                              fold_tile_rows)
+    rng = np.random.default_rng(9)
+    group, G, D, m, blk, W = 24, 2, 1, 2, 32768, 128
+    BS = group * G
+    st = fold_tile_rows(BS, D, blk)
+    assert st < group and group % st != 0, \
+        "geometry no longer exercises the regression"
+    head = blk - 2 * W
+    cb = rng.standard_normal((BS * D, m, blk)).astype(np.float32)
+    a_g = (rng.standard_normal((G, m * W)) * 0.01).astype(np.float32)
+    pw_g = (1.0 + rng.random((G, m * W))).astype(np.float32)
+    su = (rng.standard_normal(BS * D) * 0.01).astype(np.float32)
+    nv_g = np.array([m * W, m * W - 37], np.int32)
+    ds_g, pyr_g, hist_g = ds_finalize_os_fold(
+        cb, a_g, pw_g, su, nv_g, head, D, W, nbin=400, group=group,
+        interpret=True)
+    ds_r, pyr_r, hist_r = ds_finalize_os_fold(
+        cb, np.repeat(a_g, group, 0), np.repeat(pw_g, group, 0), su,
+        np.repeat(nv_g, group), head, D, W, nbin=400, interpret=True)
+    assert np.array_equal(np.asarray(ds_g), np.asarray(ds_r))
+    assert np.array_equal(np.asarray(pyr_g), np.asarray(pyr_r))
+    assert np.array_equal(np.asarray(hist_g), np.asarray(hist_r))
+
+
 def test_run_bank_batch_fold_matches_map(pallas_env):
     """run_bank_batch (FAS path) routes OS banks through the fold scan;
     values must match the per-chunk lax.map path on the valid region."""
