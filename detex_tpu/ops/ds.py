@@ -814,6 +814,17 @@ def build_bank(U_list, nc, data_len_samps, dtype=jnp.float32,
             # (short templates would otherwise get an all-head block)
             while blk < os_min_block(n_c):
                 blk *= 2
+            if (not block_fft and blk < 16384 and nfft2 >= 16384
+                    and _use_pallas() and _dft_mod().use_matmul_fft()):
+                # the fused spec->DS kernel structurally requires blk
+                # with a 128-row CT split (n1 == 128 -> blk = 16384;
+                # 32768's W exceeds the 128x128 pyramid tile), so short
+                # templates' natural 4*n_c block (e.g. n_c=1024 at 50 Hz
+                # -> 8192) silently fell back to the unfused fold path.
+                # Snap up: W/blk efficiency even improves, and the fused
+                # route is the measured-fastest scan (PERF.md round 5,
+                # config-5 engine route)
+                blk = 16384
             blk = min(blk, nfft2)
             if blk < os_min_block(n_c):  # chunk too short for OS blocks
                 bank = make_bank_demux(U_list, nc, nfft2, dtype,

@@ -37,6 +37,12 @@ def main():
     n_singles = int(sys.argv[2]) if len(sys.argv) > 2 else 94
     pf = float(sys.argv[3] if len(sys.argv) > 3
                else os.environ.get("CONFIG5_PF", "1e-12"))
+    # dtype='double' (reference default) re-verifies every triggered
+    # chunk through the exact f64 host chain; 'single' is the production
+    # TPU configuration (f32 device scan + device-windowed re-verify,
+    # bit-identical to the engine's f32 exact chain —
+    # tests/test_device_triggers.py)
+    dtype = os.environ.get("CONFIG5_DTYPE", "double")
 
     import detex_tpu
     from detex_tpu import compile_cache, profiling
@@ -80,7 +86,7 @@ def main():
     # Pf=1e-12 = the reference default (construct.py:177); CONFIG5_PF=1e-9
     # is the detection-dense stress configuration (VERDICT round-4 #9)
     ss = detex_tpu.createSubSpace(Pf=pf, clust=clust, minEvents=2,
-                                  conDatFetcher=cfetch)
+                                  dtype=dtype, conDatFetcher=cfetch)
     ss.attachPickTimes(pksFile=paths["phaseKey"], defaultDuration=20)
     ss.SVD(selectCriteria=2, selectValue=0.9, conDatNum=4,
            useSingles=True, backupThreshold=0.25)
@@ -131,7 +137,8 @@ def main():
     print(json.dumps({
         "metric": "config-5 miniature: end-to-end detex() wall seconds "
                   "(5 stations x %d templates x %.1f station-days, "
-                  "hist+mags on, Pf=%g)" % (n_templates, station_days, pf),
+                  "hist+mags on, Pf=%g, dtype=%s)"
+                  % (n_templates, station_days, pf, dtype),
         "value": round(t_detex, 1),
         "unit": "s",
         "station_days_per_s": round(station_days / t_detex, 3),
