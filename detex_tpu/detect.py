@@ -30,6 +30,10 @@ from detex_tpu.ops import triggers as _triggers
 
 MAX_TRIGGERS = 4096  # reference kill switch at 4000 (detect.py:433-436)
 
+#: detection-row columns (reference _CreateCoeffArray's Sar frame)
+SAR_COLS = ["DS", "DS_STALTA", "STMP", "Name", "Sta", "MSTAMPmin",
+            "MSTAMPmax", "Mag", "SNR", "ProEnMag"]
+
 
 def _keep_dev_batch_bytes():
     """HBM budget for the scan input batches the engine keeps alive so the
@@ -639,10 +643,17 @@ class _SSDetex(object):
                     # scan already uploaded — no host re-upload (the
                     # packed rows are bit-identical to re-packing the
                     # mpcons payloads; devicePrep keeps Xd=None since
-                    # its exact re-verify data is host-filtered)
-                    x_dev = jnp.take(Xd, jnp.asarray(trig_bis,
-                                                     jnp.int32), axis=0)
-                    lens_dev = [xlens[bi] for bi in trig_bis]
+                    # its exact re-verify data is host-filtered).
+                    # Gather at a power-of-two row count so every
+                    # trigger multiplicity shares one compiled take
+                    # (pad slots repeat row 0, masked by zero lens)
+                    Nsel = len(trig_bis)
+                    Bp = 1 << max(Nsel - 1, 0).bit_length()
+                    sel = trig_bis + [trig_bis[0]] * (Bp - Nsel)
+                    x_dev = jnp.take(Xd, jnp.asarray(sel, jnp.int32),
+                                     axis=0)
+                    lens_dev = [xlens[bi] for bi in trig_bis] + \
+                        [0] * (Bp - Nsel)
                 else:
                     x_dev = lens_dev = None
                 trig_out = _ds.run_bank_triggers_batch(
@@ -661,6 +672,7 @@ class _SSDetex(object):
                 else:
                     dsrows_of = _ds.run_bank_rows_batch(mpcons, bank, nc,
                                                         trig_rows)
+            bank_rows = []  # row lists; ONE DataFrame per bank per batch
             for zi, (bi, trig, MPcon) in enumerate(
                     zip(trig_bis, trig_rows, mpcons)):
                 payload, sr, tstamp = batch[bi]
@@ -674,9 +686,23 @@ class _SSDetex(object):
                                 "single data block on %s for %s"
                                 % (MAX_TRIGGERS, sta, name),
                                 level="error")
-                        Sar = self._coeffRows(idx, ds_at, sl_at, name,
-                                              sta, det, MPcon, nc, sr,
-                                              tstamp)
+                        rl = self._coeffRowList(idx, ds_at, sl_at, name,
+                                                sta, det, MPcon, nc, sr,
+                                                tstamp)
+                        if len(rl) > 300:
+                            detex_tpu.log(
+                                __name__, "over 300 events found in "
+                                "single data block on %s; perhaps "
+                                "minCoef is too low?" % sta,
+                                level="warning", pri=True)
+                        if any(r[0] > 1.05 for r in rl):
+                            detex_tpu.log(
+                                __name__, "DS values above 1.05 found "
+                                "on %s, removing" % sta,
+                                level="warning", pri=True)
+                            rl = [r for r in rl if r[0] <= 1.05]
+                        bank_rows.extend(rl)
+                        continue
                     else:
                         # exact-parity slow path for the triggered chunk
                         dsvec = dsrows_of[zi][si]
@@ -704,6 +730,11 @@ class _SSDetex(object):
                     if len(Sar) > 0:
                         ctx["DF"] = pd.concat([ctx["DF"], Sar],
                                               ignore_index=True)
+            if bank_rows:
+                ctx["DF"] = pd.concat(
+                    [ctx["DF"], pd.DataFrame(bank_rows,
+                                             columns=SAR_COLS)],
+                    ignore_index=True)
             if self.calcHist:
                 for si, name in enumerate(bank["names"]):
                     histdic[name] = histdic[name] + hist[si]
@@ -884,8 +915,17 @@ class _SSDetex(object):
         indices plus their DS / STA-LTA values — shared by the host
         extraction above and the device-windowed dense re-verify, which
         transfers only these per-trigger scalars."""
-        cols = ["DS", "DS_STALTA", "STMP", "Name", "Sta", "MSTAMPmin",
-                "MSTAMPmax", "Mag", "SNR", "ProEnMag"]
+        return pd.DataFrame(
+            self._coeffRowList(idx, coefs, slvals, name, sta, det, MPcon,
+                               nc, sr, tstamp), columns=SAR_COLS)
+
+    def _coeffRowList(self, idx, coefs, slvals, name, sta, det, MPcon, nc,
+                      sr, tstamp):
+        """Row-list twin of _coeffRows (columns = SAR_COLS): the dense
+        materialize path accumulates these and builds ONE DataFrame per
+        batch — a DataFrame + concat per (chunk, detector) pair was the
+        dominant cost of detection-flood runs (pandas assembly measured
+        ~79% of config-5's detex wall, PERF.md round 5)."""
         rows = []
         info = det[name]
         minof = np.min(info["offsets"])
@@ -902,7 +942,7 @@ class _SSDetex(object):
             MSTAMPmax, MSTAMPmin = times - minof, times - maxof
             rows.append([coef, SLValue, times, name, sta, MSTAMPmin,
                          MSTAMPmax, stMag, SNR, peMag])
-        return pd.DataFrame(rows, columns=cols)
+        return rows
 
     def _estMag(self, trigIndex, info, MPcon, nc, coef, times, name, sta):
         """Projected-energy and std-ratio magnitudes, CC^2-weighted
